@@ -1,0 +1,218 @@
+"""FP4 blockwise format: the executable spec (pure numpy golden model).
+
+This module is the single source of truth for the bitsandbytes-style blockwise
+FP4 format that the whole framework implements.  Every Pallas kernel is tested
+for exact agreement with the functions here.
+
+Format (reference: torch-bnb-fp4):
+  * 16-entry FP4 codebook, index bit 3 = sign, bits 0-2 = magnitude
+    (reference csrc/dequant_fp4_optimized.cu:28-46, gemv_fp4_optimized.cu:32-50).
+  * Weights are stored as uint8, two 4-bit codes per byte, HIGH nibble first
+    (reference csrc/dequant_fp4_optimized.cu:117-118, torch_bnb_fp4/__init__.py:191-192).
+  * One fp32 ``absmax`` scale per ``blocksize`` consecutive weights in flat
+    (row-major) order (reference torch_bnb_fp4/__init__.py:193-196;
+    csrc/dequant_fp4_optimized.cu:110).  Default blocksize 64 (bnb default).
+  * value = codebook[nibble] * absmax[block].
+
+Beyond the flat bnb layout, this module also defines the TPU-tiled layout used
+by the Pallas kernels ("split-K packing", see :func:`pack_tpu`): the weight
+matrix is stored transposed, W^T of shape (K, N), and byte (i, n) holds
+code(W^T[i, n]) in the high nibble and code(W^T[i + K//2, n]) in the low
+nibble.  Unpacking is then a concatenation along the K (sublane) axis instead
+of an element interleave — the layout TPU vector units want.  absmax is stored
+as (K // blocksize, N): scale blocks run along K per output column, so the
+contraction dimension of every matmul tile sees a contiguous scale broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# The 16-entry FP4 codebook (reference csrc/dequant_fp4_optimized.cu:28-46).
+# Index bit 3 is the sign; entries 8..15 are the negation of entries 0..7.
+FP4_CODE = np.array(
+    [
+        0.0,
+        0.005208333333333333,  # 1/192
+        0.6666666666666666,  # 2/3
+        1.0,
+        0.3333333333333333,  # 1/3
+        0.5,
+        0.16666666666666666,  # 1/6
+        0.25,
+        -0.0,
+        -0.005208333333333333,
+        -0.6666666666666666,
+        -1.0,
+        -0.3333333333333333,
+        -0.5,
+        -0.16666666666666666,
+        -0.25,
+    ],
+    dtype=np.float32,
+)
+
+# bitsandbytes NF4 codebook (normal-float 4-bit), supported "for free" because
+# every kernel takes the codebook as data (the reference hardcodes FP4 and
+# ignores its runtime codebook argument — SURVEY.md §2.4).
+NF4_CODE = np.array(
+    [
+        -1.0,
+        -0.6961928009986877,
+        -0.5250730514526367,
+        -0.39491748809814453,
+        -0.28444138169288635,
+        -0.18477343022823334,
+        -0.09105003625154495,
+        0.0,
+        0.07958029955625534,
+        0.16093020141124725,
+        0.24611230194568634,
+        0.33791524171829224,
+        0.44070982933044434,
+        0.5626170039176941,
+        0.7229568362236023,
+        1.0,
+    ],
+    dtype=np.float32,
+)
+
+DEFAULT_BLOCKSIZE = 64
+
+
+def quantize_codes(w: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE, code: np.ndarray = FP4_CODE):
+    """Quantize a float array to 4-bit codebook indices + per-block absmax.
+
+    Blocks run over the *flat row-major order* of ``w`` (bnb semantics).
+
+    Returns (codes uint8 in [0,16) flat, absmax float32 of shape (nblocks,)).
+    """
+    flat = np.asarray(w, dtype=np.float32).reshape(-1)
+    n = flat.size
+    if n % blocksize != 0:
+        raise ValueError(f"numel {n} not divisible by blocksize {blocksize}")
+    blocks = flat.reshape(-1, blocksize)
+    absmax = np.abs(blocks).max(axis=1).astype(np.float32)
+    # Normalize each block to [-1, 1]; nearest codebook entry.
+    safe = np.where(absmax == 0.0, 1.0, absmax)
+    normed = blocks / safe[:, None]
+    # nearest-entry search against the 16-entry codebook
+    dist = np.abs(normed[..., None] - code[None, None, :])
+    codes = np.argmin(dist, axis=-1).astype(np.uint8)
+    return codes.reshape(-1), absmax
+
+
+def dequantize_codes(codes: np.ndarray, absmax: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE, code: np.ndarray = FP4_CODE) -> np.ndarray:
+    """Inverse of :func:`quantize_codes` (flat float32 output)."""
+    vals = code[codes.astype(np.int64)].reshape(-1, blocksize)
+    return (vals * absmax[:, None].astype(np.float32)).reshape(-1)
+
+
+def pack_flat(codes: np.ndarray) -> np.ndarray:
+    """Pack 4-bit codes two-per-byte, high nibble first (bnb layout).
+
+    Matches reference csrc/dequant_fp4_optimized.cu:117-118.
+    """
+    codes = codes.reshape(-1)
+    if codes.size % 2 != 0:
+        raise ValueError("need an even number of codes to pack")
+    hi = codes[0::2].astype(np.uint8)
+    lo = codes[1::2].astype(np.uint8)
+    return ((hi << 4) | (lo & 0xF)).astype(np.uint8)
+
+
+def unpack_flat(packed: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`pack_flat`: uint8 bytes -> 4-bit codes, high first."""
+    packed = packed.reshape(-1)
+    out = np.empty(packed.size * 2, dtype=np.uint8)
+    out[0::2] = packed >> 4
+    out[1::2] = packed & 0xF
+    return out
+
+
+# ---------------------------------------------------------------------------
+# bnb-compatible whole-tensor API (the reference's QuantState equivalent)
+# ---------------------------------------------------------------------------
+
+def quantize_fp4(w: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE, code: np.ndarray = FP4_CODE):
+    """bnb-style quantize: row-major flat blocks, packed high-nibble-first.
+
+    Returns (packed uint8 (numel//2,), absmax float32 (numel//blocksize,)).
+    Equivalent of bnb ``quantize_fp4`` consumed at reference
+    torch_bnb_fp4/__init__.py:775.
+    """
+    codes, absmax = quantize_codes(w, blocksize, code)
+    return pack_flat(codes), absmax
+
+
+def dequantize_fp4(packed: np.ndarray, absmax: np.ndarray, shape, blocksize: int = DEFAULT_BLOCKSIZE, code: np.ndarray = FP4_CODE) -> np.ndarray:
+    """Golden dequantize: reference csrc/dequant_fp4_optimized.cu:89-123."""
+    codes = unpack_flat(packed)
+    return dequantize_codes(codes, absmax, blocksize, code).reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# TPU-tiled layout ("split-K packing")
+# ---------------------------------------------------------------------------
+
+def pack_tpu(w: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE, code: np.ndarray = FP4_CODE):
+    """Quantize + pack a weight matrix into the TPU kernel layout.
+
+    ``w`` has shape (N_out, K_in), torch ``nn.Linear`` convention (y = x W^T).
+    Output layout (co-designed with the Pallas kernels — SURVEY.md §7):
+
+      * ``packed``: uint8 (K // 2, N).  Byte (i, n) = code(Wt[i, n]) << 4
+        | code(Wt[i + K//2, n]) where Wt = W^T (K, N).  Unpack = two shifts +
+        a concat along K; no interleave.
+      * ``absmax``: float32 (K // blocksize, N).  Scale blocks run along K —
+        i.e. quantization blocks are columns of W^T (length ``blocksize``
+        sub-columns), NOT bnb's row-major flat blocks.  Same error properties
+        (each weight still shares a scale with ``blocksize - 1`` neighbours,
+        and those neighbours are along the *input* dim, exactly like bnb since
+        bnb's flat order over (N, K) also runs along K).
+
+    Returns (packed, absmax).
+    """
+    w = np.asarray(w, dtype=np.float32)
+    if w.ndim != 2:
+        raise ValueError("pack_tpu expects a 2-D weight (N_out, K_in)")
+    n_out, k_in = w.shape
+    if k_in % (2 * blocksize) != 0 and k_in % blocksize != 0:
+        raise ValueError(f"K={k_in} must be divisible by blocksize {blocksize}")
+    if k_in % 2 != 0:
+        raise ValueError("K must be even to pack two codes per byte")
+    # bnb quantizes flat row-major over (N, K): blocks run along K within each
+    # row.  Quantize per-row so our absmax grid is identical to bnb's, then
+    # transpose into the (K, N) kernel layout.
+    codes, absmax = quantize_codes(w, blocksize, code)  # flat over (N, K)
+    codes_t = codes.reshape(n_out, k_in).T  # (K, N)
+    absmax_t = absmax.reshape(n_out, k_in // blocksize).T  # (K//bs, N)
+    half = k_in // 2
+    hi = codes_t[:half].astype(np.uint8)
+    lo = codes_t[half:].astype(np.uint8)
+    packed = ((hi << 4) | (lo & 0xF)).astype(np.uint8)
+    return np.ascontiguousarray(packed), np.ascontiguousarray(absmax_t.astype(np.float32))
+
+
+def unpack_tpu(packed: np.ndarray, absmax: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE, code: np.ndarray = FP4_CODE) -> np.ndarray:
+    """Golden dequantize of the TPU layout -> W^T as float32 (K, N)."""
+    half, n = packed.shape
+    k = half * 2
+    codes_t = np.empty((k, n), dtype=np.uint8)
+    codes_t[:half] = packed >> 4
+    codes_t[half:] = packed & 0xF
+    vals = code[codes_t.astype(np.int64)]  # (K, N)
+    scales = np.repeat(absmax.astype(np.float32), blocksize, axis=0)  # (K, N)
+    return vals * scales
+
+
+def tpu_layout_from_bnb(packed_flat: np.ndarray, absmax_flat: np.ndarray, shape, blocksize: int = DEFAULT_BLOCKSIZE):
+    """Convert bnb flat packing (packed (numel//2,), absmax (numel//bs,)) for a
+    weight of ``shape`` (N_out, K_in) into the TPU layout — exact, no requant."""
+    n_out, k_in = shape
+    codes = unpack_flat(packed_flat).reshape(n_out, k_in)
+    codes_t = codes.T
+    absmax_t = absmax_flat.reshape(n_out, k_in // blocksize).T
+    half = k_in // 2
+    packed = ((codes_t[:half].astype(np.uint8) << 4) | (codes_t[half:] & 0xF)).astype(np.uint8)
+    return np.ascontiguousarray(packed), np.ascontiguousarray(absmax_t.astype(np.float32))
