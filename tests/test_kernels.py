@@ -29,7 +29,7 @@ def test_decode_lut_matches_codebook():
     np.testing.assert_array_equal(np.asarray(vals).reshape(-1), fmt.NF4_CODE)
 
 
-@pytest.mark.parametrize("shape", [(256, 512), (64, 1024), (2048, 256)])
+@pytest.mark.parametrize("shape", [(256, 1024), (128, 1024), (2048, 1024)])
 @pytest.mark.parametrize("out_dtype", [jnp.float32, jnp.bfloat16])
 def test_dequantize_tpu_exact(rng, shape, out_dtype):
     n_out, k_in = shape
@@ -46,7 +46,7 @@ def test_dequantize_tpu_exact(rng, shape, out_dtype):
 
 
 def test_dequantize_tpu_nf4(rng):
-    w = _rand_weight(rng, 256, 512)
+    w = _rand_weight(rng, 256, 1024)
     packed, absmax = fmt.pack_tpu(w, code=fmt.NF4_CODE)
     golden = fmt.unpack_tpu(packed, absmax, code=fmt.NF4_CODE)
     out = K.dequantize_tpu(
@@ -62,7 +62,7 @@ def test_dequantize_tpu_nf4(rng):
 @pytest.mark.parametrize("m", [1, 2, 7, 16, 128])
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 def test_matmul_fp4_matches_dequant_matmul(rng, m, dtype):
-    n_out, k_in = 256, 512
+    n_out, k_in = 256, 1024
     w = _rand_weight(rng, n_out, k_in)
     packed, absmax = fmt.pack_tpu(w)
     x = (rng.standard_normal((m, k_in)) * 0.5).astype(np.float32)
@@ -76,7 +76,7 @@ def test_matmul_fp4_matches_dequant_matmul(rng, m, dtype):
 
 
 def test_matmul_fp4_bias(rng):
-    n_out, k_in = 128, 256
+    n_out, k_in = 128, 1024
     w = _rand_weight(rng, n_out, k_in)
     bias = rng.standard_normal(n_out).astype(np.float32)
     packed, absmax = fmt.pack_tpu(w)
@@ -90,7 +90,7 @@ def test_matmul_fp4_bias(rng):
 
 
 def test_gemv_fp4(rng):
-    n_out, k_in = 512, 1024
+    n_out, k_in = 512, 2048
     w = _rand_weight(rng, n_out, k_in)
     packed, absmax = fmt.pack_tpu(w)
     x = rng.standard_normal((1, k_in)).astype(np.float32)
@@ -103,7 +103,7 @@ def test_gemv_fp4(rng):
 def test_error_band_vs_fp32_linear(rng):
     """The reference acceptance gate: mean |quantized_out - exact_out| in
     0.045-0.065 band for unit-scale inputs (sanity_check.py:177-179)."""
-    n_out, k_in = 256, 256
+    n_out, k_in = 256, 1024
     w = rng.standard_normal((n_out, k_in)).astype(np.float32)
     x = rng.standard_normal((16, k_in)).astype(np.float32)
     packed, absmax = fmt.pack_tpu(w)
@@ -114,12 +114,12 @@ def test_error_band_vs_fp32_linear(rng):
     err = np.abs(out - exact).mean()
     # band scales with sqrt(K)*weight_std; reference used torch-init weights
     # (see tests/test_sanity.py for the exact reference band).  For unit
-    # gaussians at K=256 the expected mean err is ~1.5; assert sane.
-    assert 0.5 < err < 2.5, err
+    # gaussians the expected mean err is ~1.5*sqrt(K/256); assert sane.
+    assert 1.0 < err < 6.0, err
 
 
 def test_matmul_fp4_nf4(rng):
-    n_out, k_in = 128, 256
+    n_out, k_in = 128, 1024
     w = _rand_weight(rng, n_out, k_in)
     packed, absmax = fmt.pack_tpu(w, code=fmt.NF4_CODE)
     x = rng.standard_normal((4, k_in)).astype(np.float32)

@@ -79,8 +79,9 @@ def quantize_linear(
     w = np.asarray(w, dtype=np.float32)
     n_out, k_in = w.shape
     code = fmt.FP4_CODE if quant_type == "fp4" else fmt.NF4_CODE
-    # pad K to quantization/packing granularity, N to lane granularity
-    k_pad = _round_up(k_in, 2 * blocksize)
+    # pad K to the kernel quantum (Mosaic block-shape alignment, see
+    # ops/kernels.K_QUANTUM), N to lane granularity
+    k_pad = _round_up(k_in, max(K.K_QUANTUM, 2 * blocksize))
     n_pad = _round_up(n_out, 128)
     if (k_pad, n_pad) != (k_in, n_out):
         wp = np.zeros((n_pad, k_pad), dtype=np.float32)

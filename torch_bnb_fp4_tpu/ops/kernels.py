@@ -83,6 +83,23 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# K must be a multiple of this (the layer API zero-pads): guarantees kp = K/2
+# is a multiple of 512, so absmax tiles (block_kp/64, n) have >= 8 sublanes —
+# a Mosaic block-shape requirement (last two block dims divisible by (8, 128)).
+K_QUANTUM = 1024
+
+
+def _choose_block(dim: int, requested: int, quantum: int) -> int:
+    """Largest multiple of ``quantum`` that is <= requested and divides dim."""
+    assert dim % quantum == 0, (dim, quantum)
+    best = quantum
+    for s in range(min(requested, dim) // quantum, 0, -1):
+        if (dim // quantum) % s == 0:
+            best = s * quantum
+            break
+    return best
+
+
 def _decode_tile(packed_u8, scale_hi, scale_lo, blocksize, codebook, code_ref=None):
     """uint8 packed tile (BKP, BN) -> two f32 weight tiles (BKP, BN) each.
 
@@ -146,10 +163,10 @@ def dequantize_tpu(
         interpret = _interpret_default()
     kp, n = packed.shape
     k = 2 * kp
+    assert k % K_QUANTUM == 0, f"K={k} must be a multiple of {K_QUANTUM} (pad at pack time)"
     assert absmax.shape == (k // blocksize, n), (absmax.shape, k, n)
-    block_kp = min(block_kp, kp)
-    block_n = min(block_n, n)
-    assert kp % block_kp == 0 and n % block_n == 0, (kp, n, block_kp, block_n)
+    block_kp = _choose_block(kp, block_kp, 512)
+    block_n = _choose_block(n, block_n, 128)
     assert block_kp % blocksize == 0
     sblk = block_kp // blocksize
     grid = (kp // block_kp, n // block_n)
@@ -297,14 +314,14 @@ def matmul_fp4(
     x = x.astype(compute_dtype)
 
     # shrink blocks to problem size; pad M up to a sublane-aligned block
-    block_n = min(block_n, n)
-    block_kp = min(block_kp, kp)
+    assert k % K_QUANTUM == 0, f"K={k} must be a multiple of {K_QUANTUM} (pad at pack time)"
+    block_n = _choose_block(n, block_n, 128)
+    block_kp = _choose_block(kp, block_kp, 512)
     min_m = 8 if compute_dtype == jnp.float32 else 16
     block_m = min(block_m, min_m * pl.cdiv(m, min_m))
     mp = block_m * pl.cdiv(m, block_m)
     if mp != m:
         x = jnp.pad(x, ((0, mp - m), (0, 0)))
-    assert kp % block_kp == 0 and n % block_n == 0, (kp, n, block_kp, block_n)
     assert block_kp % blocksize == 0
     sblk = block_kp // blocksize
     nk = kp // block_kp
