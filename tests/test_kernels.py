@@ -23,10 +23,11 @@ def test_decode_fp4_bits_exact():
     np.testing.assert_array_equal(np.asarray(vals).reshape(-1), fmt.FP4_CODE)
 
 
-def test_decode_lut_matches_codebook():
-    codes = jnp.arange(16, dtype=jnp.int32).reshape(2, 8)
-    vals = K._decode_lut_f32(codes, jnp.asarray(fmt.NF4_CODE))
-    np.testing.assert_array_equal(np.asarray(vals).reshape(-1), fmt.NF4_CODE)
+def test_gather_decode_matches_codebook(rng):
+    codes = jnp.asarray(rng.integers(0, 16, (8, 256)).astype(np.int32))
+    tab = K.make_code_table(fmt.NF4_CODE)
+    vals = K._gather_decode(codes, tab)
+    np.testing.assert_array_equal(np.asarray(vals), fmt.NF4_CODE[np.asarray(codes)])
 
 
 @pytest.mark.parametrize("shape", [(256, 1024), (128, 1024), (2048, 1024)])

