@@ -164,7 +164,7 @@ def dequantize_tpu(
     out_dtype=jnp.bfloat16,
     block_kp: int = 512,
     block_n: int = 256,
-    decode_impl: str = "gather",
+    decode_impl: str | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Dequantize split-K packed weights -> Wt (K, N) in ``out_dtype``.
@@ -174,6 +174,8 @@ def dequantize_tpu(
     """
     if interpret is None:
         interpret = _interpret_default()
+    if decode_impl is None:
+        decode_impl = "gather"  # measured faster than arith in the store-bound dequant kernel
     kp, n = packed.shape
     k = 2 * kp
     assert k % K_QUANTUM == 0, f"K={k} must be a multiple of {K_QUANTUM} (pad at pack time)"
@@ -290,7 +292,7 @@ def matmul_fp4(
     block_m: int = 256,
     block_kp: int = 512,
     block_n: int = 256,
-    decode_impl: str = "gather",
+    decode_impl: str | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Fused dequant-matmul: y[M, N] = x[M, K] @ dequant(packed)[K, N] + bias.
@@ -307,6 +309,10 @@ def matmul_fp4(
     m = x.shape[0]
     assert x.shape == (m, k), (x.shape, k)
     assert absmax.shape == (k // blocksize, n)
+    if decode_impl is None:
+        # arith decode measured fastest in the MXU-fused kernel on v5e;
+        # custom codebooks (NF4) require the gather path.
+        decode_impl = "arith" if codebook is None else "gather"
     assert decode_impl in ("gather", "arith")
     assert codebook is None or decode_impl == "gather", "arith decode is FP4-only"
 
@@ -384,9 +390,9 @@ def gemv_fp4(
     *,
     blocksize: int = 64,
     out_dtype=None,
-    block_kp: int = 512,
+    block_kp: int = 1024,
     block_n: int = 512,
-    decode_impl: str = "gather",
+    decode_impl: str | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Batch-1 decode fast path: x (1, K) -> (1, N).
