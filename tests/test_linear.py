@@ -1,0 +1,116 @@
+"""QuantLinear layer tests (torch_bnb_fp4_tpu/models/linear.py).
+
+Covers the reference's TorchFP4Linear/QuantData behavior surface
+(__init__.py:340-714): shape handling (2-D/3-D inputs, GEMV vs GEMM paths),
+bias, padding of odd shapes, and dequantize round trip.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_bnb_fp4_tpu.models import linear as L
+from torch_bnb_fp4_tpu.ops import format as fmt
+
+
+def _mklayer(rng, n_out, k_in, bias=True, **kw):
+    w = (rng.standard_normal((n_out, k_in)) / np.sqrt(k_in)).astype(np.float32)
+    b = rng.standard_normal(n_out).astype(np.float32) if bias else None
+    return L.quantize_linear(w, b, **kw), w, b
+
+
+@pytest.mark.parametrize("shape", [(1, 1024), (1, 1, 1024), (4, 1024), (2, 8, 1024)])
+def test_forward_shapes(rng, shape):
+    q, w, b = _mklayer(rng, 256, 1024)
+    x = rng.standard_normal(shape).astype(np.float32)
+    y = q(jnp.asarray(x), interpret=True)
+    assert y.shape == shape[:-1] + (256,)
+    # compare against golden dequantized weight
+    wt = L.dequantize_weight(q, out_dtype=jnp.float32, interpret=True)
+    golden = x.reshape(-1, 1024) @ np.asarray(wt).T + b
+    np.testing.assert_allclose(
+        np.asarray(y).reshape(-1, 256), golden, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_odd_shapes_padded(rng):
+    # K=300 (pads to 1024), N=70 (pads to 128) — reference requires
+    # K % blocksize == 0 for GEMV (__init__.py:592-593); we pad instead.
+    # (For K not a multiple of blocksize, bnb's flat blocks straddle rows;
+    # our per-row padded blocks differ there — equal-or-better error.)
+    q, w, b = _mklayer(rng, 70, 300)
+    assert q.k_pad == 1024 and q.n_pad == 128
+    x = rng.standard_normal((3, 300)).astype(np.float32)
+    y = q(jnp.asarray(x), interpret=True)
+    assert y.shape == (3, 70)
+    wq = np.asarray(L.dequantize_weight(q, out_dtype=jnp.float32, interpret=True))
+    golden = x @ wq.T + b
+    np.testing.assert_allclose(np.asarray(y), golden, rtol=1e-4, atol=1e-4)
+    # and the quantization error itself is in the expected range
+    assert np.abs(wq - w).mean() < 0.1
+
+
+def test_padding_is_exact_vs_flat_bnb(rng):
+    """When K is blocksize-aligned, padded TPU quantization must produce
+    identical values to bnb flat quantization of the unpadded weight
+    (padding blocks quantize to 0 and are sliced away)."""
+    n_out, k_in = 70, 320  # K % 64 == 0 -> bnb flat blocks stay within rows
+    w = (rng.standard_normal((n_out, k_in)) * 0.1).astype(np.float32)
+    q = L.quantize_linear(w)
+    wt = np.asarray(L.dequantize_weight(q, out_dtype=jnp.float32, interpret=True))
+    golden = fmt.dequantize_fp4(*fmt.quantize_fp4(w), (n_out, k_in))
+    np.testing.assert_allclose(wt, golden, rtol=1e-6, atol=1e-7)
+
+
+def test_no_bias(rng):
+    q, w, _ = _mklayer(rng, 128, 1024, bias=False)
+    x = rng.standard_normal((2, 1024)).astype(np.float32)
+    y = q(jnp.asarray(x), interpret=True)
+    wt = L.dequantize_weight(q, out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), x @ np.asarray(wt).T, rtol=1e-4, atol=1e-4)
+
+
+def test_nf4(rng):
+    q, w, b = _mklayer(rng, 128, 1024, quant_type="nf4")
+    assert q.codebook is not None
+    x = rng.standard_normal((2, 1024)).astype(np.float32)
+    y = q(jnp.asarray(x), interpret=True)
+    packed, absmax = fmt.quantize_fp4(w, code=fmt.NF4_CODE)
+    wq = fmt.dequantize_fp4(packed, absmax, w.shape, code=fmt.NF4_CODE)
+    np.testing.assert_allclose(np.asarray(y), x @ wq.T + b, rtol=1e-4, atol=1e-4)
+
+
+def test_zero_size_batch(rng):
+    # reference handles zero-element inputs explicitly (__init__.py:580-589)
+    q, w, b = _mklayer(rng, 128, 1024)
+    x = jnp.zeros((0, 1024), jnp.float32)
+    y = q(x, interpret=True)
+    assert y.shape == (0, 128)
+
+
+def test_pytree_roundtrip(rng):
+    import jax
+
+    q, _, _ = _mklayer(rng, 128, 1024)
+    leaves, treedef = jax.tree_util.tree_flatten(q)
+    q2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert q2.n_out == q.n_out and q2.blocksize == q.blocksize
+
+
+def test_error_band_torch_init(rng):
+    """Twin-model band with torch-default init (U(-1/sqrt(K), 1/sqrt(K))) —
+    the regime in which the reference's 0.045-0.065 band holds
+    (sanity_check.py:177-179 with nn.Linear default init)."""
+    k_in, n_out = 1024, 1024
+    bound = 1.0 / np.sqrt(k_in)
+    w = rng.uniform(-bound, bound, (n_out, k_in)).astype(np.float32)
+    b = rng.uniform(-bound, bound, n_out).astype(np.float32)
+    q = L.quantize_linear(w, b)
+    x = rng.standard_normal((8, k_in)).astype(np.float32)
+    y = np.asarray(q(jnp.asarray(x), interpret=True))
+    exact = x @ w.T + b
+    err = np.abs(y - exact).mean()
+    # reference band is for 256-d layers; scales ~sqrt(K): 0.045-0.065 at 256
+    # -> x2 at 1024.  Assert the same normalized band.
+    err_norm = err / np.sqrt(k_in / 256.0)
+    assert 0.03 < err_norm < 0.08, (err, err_norm)

@@ -109,6 +109,9 @@ def apply_linear(q: QuantLinear, x: jax.Array, *, block_m: int = 256, interpret:
     *lead, k = x.shape
     assert k == q.k_in, (x.shape, q.k_in)
     m = int(np.prod(lead)) if lead else 1
+    if m == 0:
+        # zero-element early-out (reference QuantData.forward, __init__.py:580-589)
+        return jnp.zeros((*lead, q.n_out), dtype=x.dtype)
     x2 = x.reshape(m, k)
     if k != q.k_pad:
         x2 = jnp.pad(x2, ((0, 0), (0, q.k_pad - k)))
