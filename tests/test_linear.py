@@ -110,7 +110,7 @@ def test_error_band_torch_init(rng):
     y = np.asarray(q(jnp.asarray(x), interpret=True))
     exact = x @ w.T + b
     err = np.abs(y - exact).mean()
-    # reference band is for 256-d layers; scales ~sqrt(K): 0.045-0.065 at 256
-    # -> x2 at 1024.  Assert the same normalized band.
-    err_norm = err / np.sqrt(k_in / 256.0)
-    assert 0.03 < err_norm < 0.08, (err, err_norm)
+    # torch init scales weights by 1/sqrt(K), making the band K-independent:
+    # we land directly in the reference's 0.045-0.065 acceptance band
+    # (README.md:90-91) with a little slack for rng.
+    assert 0.04 < err < 0.07, err
