@@ -1,0 +1,128 @@
+"""Headline benchmark: Mistral-7B FP4 batch-1 greedy decode, one TPU chip.
+
+Prints ONE JSON line to stdout:
+  {"metric": "mistral7b_fp4_decode_tok_s", "value": <tok/s>, "unit": "tok/s",
+   "vs_baseline": <fp4 tok/s / bf16 tok/s>}
+
+``vs_baseline`` is the north-star ratio (BASELINE.json: target >= 1.7x bf16
+tokens/s/chip at batch 1).  Timing runs the whole decode loop inside one jit
+(lax.scan with the token fed back — a real data dependency) and makes a single
+scalar host fetch; axon-tunnel RTT is calibrated out (PERF_NOTES.md).
+
+Usage: python bench.py [--model mistral7b|tinyllama|tiny] [--steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def calibrate_rtt() -> float:
+    f = jax.jit(lambda x: x + 1.0)
+    float(f(1.0))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f(1.0))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def time_decode(params, cfg, steps: int, prompt_len: int = 32, batch: int = 1, rtt: float = 0.0) -> float:
+    """Seconds per decode step (greedy, token fed back, cache carried)."""
+    from torch_bnb_fp4_tpu.models import KVCache, forward, prefill
+
+    max_len = prompt_len + steps + 1
+    cache0 = KVCache.zeros(cfg, batch, max_len)
+    prompt = jnp.zeros((batch, prompt_len), jnp.int32)
+    t0 = time.perf_counter()
+    first, cache0 = prefill(params, cfg, prompt, cache0)
+    tok0 = jnp.argmax(first, axis=-1).astype(jnp.int32)
+    tok0.block_until_ready()
+    log(f"  prefill compile+run {time.perf_counter()-t0:.1f}s")
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run(params, tok, cache, n):
+        def body(carry, _):
+            tok, cache = carry
+            logits, cache = forward(params, cfg, tok[:, None], cache)
+            tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return (tok, cache), ()
+
+        (tok, _), _ = jax.lax.scan(body, (tok, cache), None, length=n)
+        return tok
+
+    t0 = time.perf_counter()
+    int(run(params, tok0, cache0, steps)[0])  # compile + warmup
+    log(f"  decode compile+warmup {time.perf_counter()-t0:.1f}s")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        int(run(params, tok0, cache0, steps)[0])
+        best = min(best, time.perf_counter() - t0 - rtt)
+    return best / steps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="mistral7b", choices=["mistral7b", "tinyllama", "tiny"])
+    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--prompt-len", type=int, default=32)
+    args = ap.parse_args()
+
+    from torch_bnb_fp4_tpu.models import ModelConfig
+    from torch_bnb_fp4_tpu.utils.synth import synth_params
+
+    cfg = {
+        "mistral7b": ModelConfig.mistral_7b,
+        "tinyllama": ModelConfig.tinyllama_1b,
+        "tiny": ModelConfig.tiny_test,
+    }[args.model]()
+
+    rtt = calibrate_rtt()
+    log(f"backend={jax.default_backend()} rtt={rtt*1e3:.1f}ms model={args.model}")
+
+    log("building FP4 model (device-side synth)...")
+    t0 = time.perf_counter()
+    params = synth_params(cfg, quantized=True, seed=0)
+    jax.block_until_ready(params)
+    log(f"  built in {time.perf_counter()-t0:.1f}s")
+    fp4_step = time_decode(params, cfg, args.steps, args.prompt_len, rtt=rtt)
+    fp4_toks = 1.0 / fp4_step
+    log(f"FP4:  {fp4_step*1e3:.2f} ms/step -> {fp4_toks:.1f} tok/s")
+    del params
+    gc.collect()
+
+    log("building bf16 twin...")
+    params = synth_params(cfg, quantized=False, seed=0)
+    jax.block_until_ready(params)
+    bf16_step = time_decode(params, cfg, args.steps, args.prompt_len, rtt=rtt)
+    bf16_toks = 1.0 / bf16_step
+    log(f"bf16: {bf16_step*1e3:.2f} ms/step -> {bf16_toks:.1f} tok/s")
+    del params
+    gc.collect()
+
+    print(json.dumps({
+        "metric": f"{args.model}_fp4_decode_tok_s",
+        "value": round(fp4_toks, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(fp4_toks / bf16_toks, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

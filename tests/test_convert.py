@@ -1,0 +1,120 @@
+"""Convert subsystem tests: torch fast-path vs numpy golden (bit-identical),
+checkpoint round-trip, k-shard repack, HF end-to-end on a synthetic tiny
+checkpoint (safetensors on disk)."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_bnb_fp4_tpu.convert import (
+    convert_hf_model,
+    load_checkpoint,
+    quantize_pack_sharded,
+    repack_k_shards,
+    save_checkpoint,
+)
+from torch_bnb_fp4_tpu.models import (
+    KVCache,
+    ModelConfig,
+    forward,
+    quantize_params,
+)
+from torch_bnb_fp4_tpu.models import transformer as T
+from torch_bnb_fp4_tpu.ops import format as fmt
+
+
+@pytest.mark.parametrize("k_shards", [1, 4])
+@pytest.mark.parametrize("code_name", ["fp4", "nf4"])
+def test_fast_pack_bit_identical_to_golden(rng, k_shards, code_name):
+    code = fmt.FP4_CODE if code_name == "fp4" else fmt.NF4_CODE
+    w = (rng.standard_normal((96, 1024)) * 0.2).astype(np.float32)
+    g_packed, g_hi, g_lo = fmt.pack_tpu_sharded(w, code=code, k_shards=k_shards)
+    f_packed, f_hi, f_lo = quantize_pack_sharded(w, code=code, k_shards=k_shards)
+    np.testing.assert_array_equal(g_packed, f_packed)
+    np.testing.assert_array_equal(g_hi, f_hi)
+    np.testing.assert_array_equal(g_lo, f_lo)
+
+
+@pytest.mark.parametrize("old,new", [(1, 4), (4, 1), (2, 4)])
+def test_repack_k_shards_exact(rng, old, new):
+    w = (rng.standard_normal((64, 2048)) * 0.1).astype(np.float32)
+    p_old, hi_old, lo_old = fmt.pack_tpu_sharded(w, k_shards=old)
+    p_new, hi_new, lo_new = repack_k_shards(p_old, hi_old, lo_old, 64, old, new)
+    g_new, g_hi, g_lo = fmt.pack_tpu_sharded(w, k_shards=new)
+    np.testing.assert_array_equal(p_new, g_new)
+    np.testing.assert_array_equal(hi_new, g_hi)
+    np.testing.assert_array_equal(lo_new, g_lo)
+
+
+CFG = ModelConfig.tiny_test()
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    weights = T.random_weights(CFG, seed=11)
+    params = quantize_params(CFG, weights)
+    save_checkpoint(str(tmp_path / "ckpt"), CFG, params)
+    cfg2, params2 = load_checkpoint(str(tmp_path / "ckpt"))
+    assert cfg2 == CFG
+    tokens = jnp.asarray([[1, 2, 3]], jnp.int32)
+    l1, _ = forward(params, CFG, tokens, KVCache.zeros(CFG, 1, 3))
+    l2, _ = forward(params2, cfg2, tokens, KVCache.zeros(cfg2, 1, 3))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_checkpoint_load_with_tp_repack(tmp_path):
+    """One stored checkpoint serves any tp: loading with tp=4 must equal
+    quantizing with k_shards=4 directly."""
+    from torch_bnb_fp4_tpu.parallel import quantize_params_tp
+
+    weights = T.random_weights(CFG, seed=11)
+    save_checkpoint(str(tmp_path / "c"), CFG, quantize_params(CFG, weights))
+    _, params_tp = load_checkpoint(str(tmp_path / "c"), tp=4)
+    direct = quantize_params_tp(CFG, weights, tp=4)
+    np.testing.assert_array_equal(
+        np.asarray(params_tp.layers[0].wo.packed),
+        np.asarray(direct.layers[0].wo.packed),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params_tp.layers[0].w_down.absmax_hi),
+        np.asarray(direct.layers[0].w_down.absmax_hi),
+    )
+    assert params_tp.layers[0].wo.k_shards == 4
+
+
+def _write_hf_checkpoint(path, cfg, weights):
+    """Synthesize an HF-style model dir (config.json + one safetensors)."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    hf_cfg = dict(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.dim,
+        num_hidden_layers=cfg.n_layers,
+        num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.n_kv_heads,
+        intermediate_size=cfg.ffn_dim,
+        rope_theta=cfg.rope_theta,
+        rms_norm_eps=cfg.rms_eps,
+    )
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(hf_cfg, f)
+    save_file(weights, os.path.join(path, "model.safetensors"))
+
+
+def test_hf_convert_end_to_end(tmp_path):
+    """HF dir -> packed checkpoint -> load -> forward matches in-process
+    quantization of the same weights."""
+    weights = T.random_weights(CFG, seed=5)
+    _write_hf_checkpoint(tmp_path / "hf", CFG, weights)
+    cfg = convert_hf_model(str(tmp_path / "hf"), str(tmp_path / "out"), verbose=False)
+    assert cfg.dim == CFG.dim and cfg.n_layers == CFG.n_layers
+    cfg2, params = load_checkpoint(str(tmp_path / "out"))
+    tokens = jnp.asarray([[7, 8, 9, 10]], jnp.int32)
+    got, _ = forward(params, cfg2, tokens, KVCache.zeros(cfg2, 1, 4))
+    ref_params = quantize_params(CFG, weights)
+    want, _ = forward(ref_params, CFG, tokens, KVCache.zeros(CFG, 1, 4))
+    # same quantized weights; lm_head dense in both paths -> near-identical
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-2, atol=1e-3)

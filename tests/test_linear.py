@@ -97,6 +97,53 @@ def test_pytree_roundtrip(rng):
     assert q2.n_out == q.n_out and q2.blocksize == q.blocksize
 
 
+@pytest.mark.parametrize("k_shards", [2, 4])
+def test_k_sharded_packing_matches_unsharded(rng, k_shards):
+    """Row-parallel layout: k_shards packing must give identical results to
+    the plain layout (same absmax grid, same codes, just row-reordered)."""
+    n_out, k_in = 128, 2048
+    w = (rng.standard_normal((n_out, k_in)) * 0.1).astype(np.float32)
+    q1 = L.quantize_linear(w)
+    qd = L.quantize_linear(w, k_shards=k_shards)
+    assert qd.k_shards == k_shards
+    # dequantized weights identical
+    w1 = np.asarray(L.dequantize_weight(q1, out_dtype=jnp.float32, interpret=True))
+    wd = np.asarray(L.dequantize_weight(qd, out_dtype=jnp.float32, interpret=True))
+    np.testing.assert_array_equal(w1, wd)
+    # forward identical (both GEMV and GEMM paths)
+    for m in (1, 5):
+        x = rng.standard_normal((m, k_in)).astype(np.float32)
+        y1 = np.asarray(q1(jnp.asarray(x), interpret=True))
+        yd = np.asarray(qd(jnp.asarray(x), interpret=True))
+        np.testing.assert_allclose(y1, yd, rtol=1e-6, atol=1e-6)
+
+
+def test_local_view_shard_slices(rng):
+    """local_view + manually sliced leaves == the shard's standalone layer."""
+    import dataclasses as dc
+
+    n_out, k_in, D = 256, 2048, 4
+    w = (rng.standard_normal((n_out, k_in)) * 0.1).astype(np.float32)
+    q = L.quantize_linear(w, k_shards=D)
+    x = rng.standard_normal((3, k_in)).astype(np.float32)
+    full = np.asarray(q(jnp.asarray(x), interpret=True))
+    # row-parallel: each device holds a contiguous slice of dim 0 of every leaf
+    kp_loc = q.packed.shape[0] // D
+    s_loc = q.absmax_hi.shape[0] // D
+    acc = np.zeros_like(full)
+    for d in range(D):
+        q_loc = dc.replace(
+            L.local_view(q, k_parts=D),
+            packed=q.packed[d * kp_loc : (d + 1) * kp_loc],
+            absmax_hi=q.absmax_hi[d * s_loc : (d + 1) * s_loc],
+            absmax_lo=q.absmax_lo[d * s_loc : (d + 1) * s_loc],
+            bias=None,
+        )
+        x_loc = x[:, d * (k_in // D) : (d + 1) * (k_in // D)]
+        acc += np.asarray(q_loc(jnp.asarray(x_loc), interpret=True))
+    np.testing.assert_allclose(acc, full, rtol=1e-5, atol=1e-5)
+
+
 def test_error_band_torch_init(rng):
     """Twin-model band with torch-default init (U(-1/sqrt(K), 1/sqrt(K))) —
     the regime in which the reference's 0.045-0.065 band holds

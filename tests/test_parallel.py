@@ -1,0 +1,124 @@
+"""Tensor/data parallel tests on the virtual 8-device CPU mesh (SURVEY.md §4:
+the multi-host-without-a-cluster strategy the reference has no counterpart
+for).  The oracle is the single-device forward — TP must match it exactly
+(same kernels, same quantization grid, just sharded)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_bnb_fp4_tpu.models import (
+    KVCache,
+    ModelConfig,
+    forward,
+    quantize_params,
+)
+from torch_bnb_fp4_tpu.parallel import (
+    make_decode_step,
+    make_mesh,
+    make_prefill,
+    quantize_params_tp,
+    shard_cache,
+    shard_params,
+    tp_forward_fn,
+    validate_tp,
+)
+from torch_bnb_fp4_tpu.models import transformer as T
+
+CFG = ModelConfig.tiny_test()
+
+
+@pytest.fixture(scope="module")
+def weights():
+    return T.random_weights(CFG, seed=7)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("n_data,n_model", [(1, 4), (2, 4), (1, 2)])
+def test_tp_forward_matches_single_device(weights, n_data, n_model):
+    validate_tp(CFG, n_model)
+    mesh = make_mesh(n_model=n_model, n_data=n_data)
+    params_tp = quantize_params_tp(CFG, weights, tp=n_model)
+    params_1 = quantize_params(CFG, weights)
+
+    b, l, max_len = 2 * n_data, 5, 8
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, CFG.vocab_size, (b, l)), jnp.int32)
+
+    ref_logits, ref_cache = forward(params_1, CFG, tokens, KVCache.zeros(CFG, b, max_len))
+
+    params_tp = shard_params(params_tp, mesh)
+    cache = shard_cache(KVCache.zeros(CFG, b, max_len), mesh)
+    fwd = tp_forward_fn(params_tp, CFG, cache, mesh)
+    logits, cache = jax.jit(fwd)(params_tp, tokens, cache)
+
+    # bf16 hidden states pick up ~1-2 ulps of XLA-reassociation noise per
+    # layer (jitted shard_map body vs eager oracle); logits amplify it via
+    # cancellation.  Measured ceiling for this geometry: ~0.02 abs.
+    got, ref = np.asarray(logits), np.asarray(ref_logits)
+    assert np.abs(got - ref).max() < 0.05, np.abs(got - ref).max()
+    assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.999
+    # KV caches agree (gathered)
+    np.testing.assert_allclose(
+        np.asarray(cache.k[0], dtype=np.float32),
+        np.asarray(ref_cache.k[0], dtype=np.float32),
+        rtol=2e-2, atol=2e-3,
+    )
+    assert int(cache.length) == l
+
+
+def test_tp_decode_steps_match_single_device(weights):
+    """Teacher-forced decode: step logits on the TP mesh track the
+    single-device oracle at every cache position (prefill + 2 decode steps).
+    Token-identity would be flaky: random-weight logits have near-ties that
+    legitimately flip under bf16 reassociation noise."""
+    n_model = 4
+    mesh = make_mesh(n_model=n_model, n_data=2)
+    params_tp = shard_params(quantize_params_tp(CFG, weights, tp=n_model), mesh)
+    params_1 = quantize_params(CFG, weights)
+
+    b, max_len = 2, 6
+    seq = jnp.asarray([[3, 1, 4, 9, 2], [1, 5, 9, 0, 3]], jnp.int32)
+    prompt, forced = seq[:, :3], seq[:, 3:]
+
+    cache1 = KVCache.zeros(CFG, b, max_len)
+    ref_logits = []
+    lg, cache1 = forward(params_1, CFG, prompt, cache1)
+    ref_logits.append(np.asarray(lg[:, -1]))
+    for i in range(forced.shape[1]):
+        lg, cache1 = forward(params_1, CFG, forced[:, i : i + 1], cache1)
+        ref_logits.append(np.asarray(lg[:, -1]))
+
+    cache = shard_cache(KVCache.zeros(CFG, b, max_len), mesh)
+    fwd = tp_forward_fn(params_tp, CFG, cache, mesh)
+    fwd = jax.jit(fwd)
+    tp_logits = []
+    lg, cache = fwd(params_tp, prompt, cache)
+    tp_logits.append(np.asarray(lg[:, -1]))
+    for i in range(forced.shape[1]):
+        lg, cache = fwd(params_tp, forced[:, i : i + 1], cache)
+        tp_logits.append(np.asarray(lg[:, -1]))
+
+    for r, t in zip(ref_logits, tp_logits):
+        assert np.abs(r - t).max() < 0.05
+        assert np.corrcoef(r.ravel(), t.ravel())[0, 1] > 0.999
+
+
+def test_row_parallel_shard_is_contiguous(weights):
+    """The whole point of pack_tpu_sharded: every leaf of a row-parallel layer
+    shards as a contiguous NamedSharding with no resharding at dispatch."""
+    n_model = 4
+    mesh = make_mesh(n_model=n_model)
+    params_tp = shard_params(quantize_params_tp(CFG, weights, tp=n_model), mesh)
+    wo = params_tp.layers[0].wo
+    assert wo.k_shards == n_model
+    shard_shapes = {s.data.shape for s in wo.packed.addressable_shards}
+    kp, n = wo.packed.shape
+    assert shard_shapes == {(kp // n_model, n)}
+    shard_shapes = {s.data.shape for s in wo.absmax_hi.addressable_shards}
+    r, n = wo.absmax_hi.shape
+    assert shard_shapes == {(r // n_model, n)}

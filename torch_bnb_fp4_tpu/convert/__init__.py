@@ -1,0 +1,14 @@
+from .checkpoint import load_checkpoint, save_checkpoint
+from .hf import config_from_hf, convert_hf_model, iter_hf_tensors, quantize_hf_weights
+from .quantize import quantize_pack_sharded, repack_k_shards
+
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "config_from_hf",
+    "convert_hf_model",
+    "iter_hf_tensors",
+    "quantize_hf_weights",
+    "quantize_pack_sharded",
+    "repack_k_shards",
+]

@@ -1,0 +1,25 @@
+"""CLI: python -m torch_bnb_fp4_tpu.convert <hf_model_dir> <out_dir>
+         [--quant-type fp4|nf4] [--quantize-lm-head]"""
+
+import argparse
+
+from .hf import convert_hf_model
+
+
+def main():
+    ap = argparse.ArgumentParser(description="HF checkpoint -> packed FP4 checkpoint")
+    ap.add_argument("model_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("--quant-type", default="fp4", choices=["fp4", "nf4"])
+    ap.add_argument("--quantize-lm-head", action="store_true")
+    args = ap.parse_args()
+    convert_hf_model(
+        args.model_dir,
+        args.out_dir,
+        quant_type=args.quant_type,
+        quantize_lm_head=args.quantize_lm_head,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""Packed-FP4 checkpoint format: save once offline, load for any tp width.
+
+The reference never serializes its converted model (SURVEY.md §5,
+checkpoint/resume: "converted model is never serialized" — every boot pays
+HF-load + quantize).  Here conversion is offline and serving loads packed
+bytes directly.
+
+Layout (directory):
+  manifest.json           — model geometry + quantization metadata
+  <name>.npz              — one file per weight group (layers.N, embed, ...)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.linear import DenseLinear, QuantLinear
+from ..models.transformer import LayerParams, ModelConfig, ModelParams
+from .quantize import repack_k_shards
+
+FORMAT_VERSION = 1
+_QL_FIELDS = ("packed", "absmax_hi", "absmax_lo", "bias")
+
+
+def _encode_arrays(arrays: dict) -> tuple[dict, list[str]]:
+    """npz can't round-trip bfloat16 (loads as void) — store as uint16 views
+    and record which keys to view back."""
+    import ml_dtypes
+
+    out, bf16_keys = {}, []
+    for k, a in arrays.items():
+        a = np.asarray(a)
+        if a.dtype == ml_dtypes.bfloat16:
+            out[k] = a.view(np.uint16)
+            bf16_keys.append(k)
+        else:
+            out[k] = a
+    return out, bf16_keys
+
+
+def _decode_arrays(arrays: dict, bf16_keys: list[str]) -> dict:
+    import ml_dtypes
+
+    for k in bf16_keys:
+        arrays[k] = arrays[k].view(ml_dtypes.bfloat16)
+    return arrays
+
+
+def _ql_to_arrays(prefix: str, q: QuantLinear, store: dict) -> dict:
+    for f in _QL_FIELDS:
+        v = getattr(q, f)
+        if v is not None:
+            store[f"{prefix}.{f}"] = np.asarray(v)
+    return dict(kind="quant", n_out=q.n_out, k_in=q.k_in, blocksize=q.blocksize,
+                k_shards=q.k_shards, codebook=None if q.codebook is None else np.asarray(q.codebook).tolist())
+
+
+def _ql_from_arrays(prefix: str, meta: dict, arrays: dict, tp: int) -> QuantLinear:
+    packed = arrays[f"{prefix}.packed"]
+    hi = arrays[f"{prefix}.absmax_hi"]
+    lo = arrays[f"{prefix}.absmax_lo"]
+    k_shards = meta["k_shards"]
+    if meta.get("row_parallel") and tp != k_shards:
+        packed, hi, lo = repack_k_shards(packed, hi, lo, meta["blocksize"], k_shards, tp)
+        k_shards = tp
+    bias = arrays.get(f"{prefix}.bias")
+    cb = meta.get("codebook")
+    return QuantLinear(
+        packed=jnp.asarray(packed),
+        absmax_hi=jnp.asarray(hi),
+        absmax_lo=jnp.asarray(lo),
+        bias=None if bias is None else jnp.asarray(bias),
+        n_out=meta["n_out"],
+        k_in=meta["k_in"],
+        blocksize=meta["blocksize"],
+        k_shards=k_shards,
+        codebook=None if cb is None else jnp.asarray(np.asarray(cb, np.float32)),
+    )
+
+
+def save_checkpoint(path: str, cfg: ModelConfig, params: ModelParams) -> None:
+    os.makedirs(path, exist_ok=True)
+    manifest: dict = {
+        "format_version": FORMAT_VERSION,
+        "config": dataclasses.asdict(cfg),
+        "tensors": {},
+    }
+
+    def put(name: str, arrays: dict, meta: dict):
+        arrays, bf16_keys = _encode_arrays(arrays)
+        np.savez(os.path.join(path, name + ".npz"), **arrays)
+        meta["bf16_keys"] = bf16_keys
+        manifest["tensors"][name] = meta
+
+    put("embed", {"embed.w": np.asarray(params.embed)}, {"kind": "dense_embed"})
+    put("final_norm", {"final_norm.w": np.asarray(params.final_norm)}, {"kind": "norm"})
+    for i, lp in enumerate(params.layers):
+        arrays: dict = {
+            f"layers.{i}.attn_norm": np.asarray(lp.attn_norm),
+            f"layers.{i}.mlp_norm": np.asarray(lp.mlp_norm),
+        }
+        meta: dict = {"kind": "layer", "linears": {}}
+        for f in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+            m = _ql_to_arrays(f"layers.{i}.{f}", getattr(lp, f), arrays)
+            m["row_parallel"] = f in ("wo", "w_down")
+            meta["linears"][f] = m
+        put(f"layers.{i}", arrays, meta)
+    lm = params.lm_head
+    if isinstance(lm, QuantLinear):
+        arrays = {}
+        meta = _ql_to_arrays("lm_head", lm, arrays)
+        meta["row_parallel"] = False
+        put("lm_head", arrays, meta)
+    else:
+        w = np.asarray(lm.w if isinstance(lm, DenseLinear) else lm)
+        b = None if not isinstance(lm, DenseLinear) or lm.bias is None else np.asarray(lm.bias)
+        arrays = {"lm_head.w": w}
+        if b is not None:
+            arrays["lm_head.bias"] = b
+        put("lm_head", arrays, {"kind": "dense"})
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+
+
+def load_checkpoint(path: str, tp: int = 1) -> tuple[ModelConfig, ModelParams]:
+    """Load a packed checkpoint; row-parallel layers are repacked for ``tp``
+    on the fly (exact — see repack_k_shards)."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["format_version"] == FORMAT_VERSION
+    cfg = ModelConfig(**manifest["config"])
+
+    def arrs(name: str) -> dict:
+        with np.load(os.path.join(path, name + ".npz")) as z:
+            return _decode_arrays(dict(z), manifest["tensors"][name].get("bf16_keys", []))
+
+    embed = jnp.asarray(arrs("embed")["embed.w"])
+    final_norm = jnp.asarray(arrs("final_norm")["final_norm.w"])
+    layers = []
+    for i in range(cfg.n_layers):
+        a = arrs(f"layers.{i}")
+        meta = manifest["tensors"][f"layers.{i}"]["linears"]
+        kw = {}
+        for f in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+            m = dict(meta[f])
+            kw[f] = _ql_from_arrays(f"layers.{i}.{f}", m, a, tp)
+        layers.append(LayerParams(
+            attn_norm=jnp.asarray(a[f"layers.{i}.attn_norm"]),
+            mlp_norm=jnp.asarray(a[f"layers.{i}.mlp_norm"]),
+            **kw,
+        ))
+    lm_meta = manifest["tensors"]["lm_head"]
+    a = arrs("lm_head")
+    if lm_meta["kind"] == "quant":
+        lm_head = _ql_from_arrays("lm_head", lm_meta, a, tp)
+    else:
+        w = a["lm_head.w"]
+        lm_head = DenseLinear(
+            w=jnp.asarray(w),
+            bias=jnp.asarray(a["lm_head.bias"]) if "lm_head.bias" in a else None,
+            n_out=w.shape[1],
+            k_in=w.shape[0],
+        )
+    return cfg, ModelParams(embed=embed, layers=layers, final_norm=final_norm, lm_head=lm_head)

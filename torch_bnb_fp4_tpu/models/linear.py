@@ -1,4 +1,4 @@
-"""QuantizedLinear: the TPU-native counterpart of the reference's
+"""QuantLinear: the TPU-native counterpart of the reference's
 ``TorchFP4Linear`` + ``QuantData`` (torch_bnb_fp4/__init__.py:340-714).
 
 Design departures (SURVEY.md §7 "Design stance"):
@@ -9,15 +9,20 @@ Design departures (SURVEY.md §7 "Design stance"):
     __init__.py:560-618: GEMV when exactly one row, else dequant+GEMM) becomes
     trace-time shape specialization: under ``jit`` the input shape is static,
     so dispatch costs nothing and both paths share one fused kernel family.
-  * Padding: kernels need K % (2*blocksize) == 0 and N % 128 == 0.  The pack
-    step zero-pads N (code 0 dequantizes to absmax*0 = 0) and the apply step
-    slices the result; K padding pads x with zeros.
+  * Padding: kernels want K % 1024 == 0 (or a small aligned TP shard) and
+    N % 128 == 0.  The pack step zero-pads N (code 0 dequantizes to
+    absmax*0 = 0) and the apply step slices the result; K padding pads x with
+    zeros.
+  * Sharding-native state: absmax is stored as its hi/lo nibble-plane halves
+    (two arrays) and the K axis may be pre-sliced into ``k_shards``
+    self-contained packings (ops/format.pack_tpu_sharded) so both
+    column-parallel (shard dim 1) and row-parallel (shard dim 0) tensor
+    parallelism are plain contiguous NamedShardings over every leaf.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -37,17 +42,20 @@ class QuantLinear:
     """Blockwise-FP4 linear layer state (pytree).
 
     y = x @ dequant(packed).T-style contraction + bias, where ``packed`` is
-    the split-K TPU layout of W (n_out, k_in) — see ops/format.pack_tpu.
-    Equivalent state to reference QuantData (__init__.py:345-401): packed
-    bytes, absmax, shape, bias, codebook choice.
+    the (possibly K-sharded) split-K TPU layout of W (n_out, k_in) — see
+    ops/format.pack_tpu_sharded.  Equivalent state to reference QuantData
+    (__init__.py:345-401): packed bytes, absmax, shape, bias, codebook.
     """
 
     packed: jax.Array  # uint8 (k_pad // 2, n_pad)
-    absmax: jax.Array  # f32 (k_pad // blocksize, n_pad)
+    absmax_hi: jax.Array  # f32 (k_pad // (2*blocksize), n_pad) — hi-nibble scales
+    absmax_lo: jax.Array  # f32 (k_pad // (2*blocksize), n_pad) — lo-nibble scales
     bias: jax.Array | None  # (n_out,) or None
     n_out: int = dataclasses.field(metadata=dict(static=True))
     k_in: int = dataclasses.field(metadata=dict(static=True))
     blocksize: int = dataclasses.field(default=64, metadata=dict(static=True))
+    # number of self-contained K-slices in the packing (row-parallel TP width)
+    k_shards: int = dataclasses.field(default=1, metadata=dict(static=True))
     # None -> exact arithmetic FP4 decode; else a (16,) table (e.g. NF4)
     codebook: jax.Array | None = None
 
@@ -63,44 +71,123 @@ class QuantLinear:
         return apply_linear(self, x, **kw)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DenseLinear:
+    """Unquantized linear with the same calling convention as QuantLinear.
+
+    Exists so the bf16 baseline (the denominator of the north-star
+    ``FP4 tokens/s / bf16 tokens/s`` ratio) runs through the exact same model
+    code, and so unquantized layers (e.g. an ignore-listed lm_head, reference
+    __init__.py:788) slot into the same pytrees."""
+
+    w: jax.Array  # (k_in, n_out) — stored pre-transposed for x @ w
+    bias: jax.Array | None
+    n_out: int = dataclasses.field(metadata=dict(static=True))
+    k_in: int = dataclasses.field(metadata=dict(static=True))
+
+    def __call__(self, x: jax.Array, out_dtype=None, **_kw) -> jax.Array:
+        y = jnp.dot(x, self.w, preferred_element_type=jnp.float32)
+        if self.bias is not None:
+            y = y + self.bias.astype(jnp.float32)
+        return y.astype(out_dtype if out_dtype is not None else x.dtype)
+
+
+def dense_linear(w: np.ndarray, bias: np.ndarray | None = None, dtype=jnp.bfloat16) -> DenseLinear:
+    """Build a DenseLinear from a torch-convention (n_out, k_in) weight."""
+    w = np.asarray(w, np.float32)
+    n_out, k_in = w.shape
+    return DenseLinear(
+        w=jnp.asarray(w.T, dtype),
+        bias=None if bias is None else jnp.asarray(bias, dtype),
+        n_out=n_out,
+        k_in=k_in,
+    )
+
+
 def quantize_linear(
     w: np.ndarray,
     bias: np.ndarray | None = None,
     *,
     blocksize: int = 64,
     quant_type: str = "fp4",
+    k_shards: int = 1,
 ) -> QuantLinear:
     """Quantize a weight matrix (n_out, k_in) into a QuantLinear.
 
     In-process equivalent of the reference's swap path
     (swap_linear_with_bnb_linear + TorchFP4Linear.from_linear,
-    __init__.py:695-747).  ``quant_type``: "fp4" or "nf4".
+    __init__.py:695-747).  ``quant_type``: "fp4" or "nf4"; ``k_shards``: slice
+    K into this many self-contained packings (row-parallel TP width).
     """
     w = np.asarray(w, dtype=np.float32)
     n_out, k_in = w.shape
     code = fmt.FP4_CODE if quant_type == "fp4" else fmt.NF4_CODE
-    # pad K to the kernel quantum (Mosaic block-shape alignment, see
-    # ops/kernels.K_QUANTUM), N to lane granularity
-    k_pad = _round_up(k_in, max(K.K_QUANTUM, 2 * blocksize))
+    # pad K per shard to the kernel quantum when unsharded; sharded layers are
+    # required to be pre-aligned (real model dims are) so shards stay equal
+    if k_shards == 1:
+        k_pad = _round_up(k_in, max(K.K_QUANTUM, 2 * blocksize))
+    else:
+        k_pad = _round_up(k_in, k_shards * 2 * blocksize)
     n_pad = _round_up(n_out, 128)
     if (k_pad, n_pad) != (k_in, n_out):
         wp = np.zeros((n_pad, k_pad), dtype=np.float32)
         wp[:n_out, :k_in] = w
     else:
         wp = w
-    packed, absmax = fmt.pack_tpu(wp, blocksize=blocksize, code=code)
+    packed, absmax_hi, absmax_lo = fmt.pack_tpu_sharded(
+        wp, blocksize=blocksize, code=code, k_shards=k_shards
+    )
     return QuantLinear(
         packed=jnp.asarray(packed),
-        absmax=jnp.asarray(absmax),
+        absmax_hi=jnp.asarray(absmax_hi),
+        absmax_lo=jnp.asarray(absmax_lo),
         bias=None if bias is None else jnp.asarray(bias),
         n_out=n_out,
         k_in=k_in,
         blocksize=blocksize,
+        k_shards=k_shards,
         codebook=None if quant_type == "fp4" else jnp.asarray(code),
     )
 
 
-def apply_linear(q: QuantLinear, x: jax.Array, *, block_m: int = 256, interpret: bool | None = None) -> jax.Array:
+def local_view(q: QuantLinear, *, n_parts: int = 1, k_parts: int = 1) -> QuantLinear:
+    """Static-metadata view of one TP shard of ``q``.
+
+    Inside ``shard_map`` the array leaves are already local; this rewrites the
+    static shape fields to match.  ``n_parts``: column-parallel width (shards
+    dim 1 of every leaf); ``k_parts``: row-parallel width (shards dim 0; the
+    local packing is then ``k_shards // k_parts`` self-contained slices).
+    """
+    assert q.n_out % n_parts == 0, (q.n_out, n_parts)
+    assert q.k_in % k_parts == 0 and q.k_shards % k_parts == 0, (q.k_in, q.k_shards, k_parts)
+    return dataclasses.replace(
+        q,
+        n_out=q.n_out // n_parts,
+        k_in=q.k_in // k_parts,
+        k_shards=q.k_shards // k_parts,
+    )
+
+
+def _absmax(q: QuantLinear):
+    return (q.absmax_hi, q.absmax_lo)
+
+
+def _shard_reorder_x(x2: jax.Array, k_shards: int) -> jax.Array:
+    """Reorder x columns so a k_sharded packing can run as ONE kernel call.
+
+    Shard d's packed rows expect hi = x cols [d*K/D, d*K/D + K/2D) and
+    lo = the next K/2D cols; the kernel splits x at K/2 globally.  A single
+    (M, D, 2, K/2D) -> (M, 2, D, K/2D) transpose aligns them.
+    """
+    m, k = x2.shape
+    kp_loc = k // (2 * k_shards)
+    return (
+        x2.reshape(m, k_shards, 2, kp_loc).transpose(0, 2, 1, 3).reshape(m, k)
+    )
+
+
+def apply_linear(q: QuantLinear, x: jax.Array, *, block_m: int = 256, out_dtype=None, interpret: bool | None = None) -> jax.Array:
     """Forward pass. x: (..., k_in) -> (..., n_out).
 
     Trace-time dispatch (replacing reference QuantData.forward runtime policy,
@@ -115,6 +202,8 @@ def apply_linear(q: QuantLinear, x: jax.Array, *, block_m: int = 256, interpret:
     x2 = x.reshape(m, k)
     if k != q.k_pad:
         x2 = jnp.pad(x2, ((0, 0), (0, q.k_pad - k)))
+    if q.k_shards > 1:
+        x2 = _shard_reorder_x(x2, q.k_shards)
     bias = None
     if q.bias is not None:
         bias = q.bias
@@ -122,17 +211,19 @@ def apply_linear(q: QuantLinear, x: jax.Array, *, block_m: int = 256, interpret:
             bias = jnp.pad(bias, (0, q.n_pad - q.n_out))
     if m == 1:
         out = K.gemv_fp4(
-            x2, q.packed, q.absmax, bias, q.codebook, blocksize=q.blocksize, interpret=interpret
+            x2, q.packed, _absmax(q), bias, q.codebook, blocksize=q.blocksize,
+            out_dtype=out_dtype, interpret=interpret
         )
     else:
         out = K.matmul_fp4(
             x2,
             q.packed,
-            q.absmax,
+            _absmax(q),
             bias,
             q.codebook,
             blocksize=q.blocksize,
             block_m=block_m,
+            out_dtype=out_dtype,
             interpret=interpret,
         )
     if q.n_pad != q.n_out:
@@ -143,12 +234,19 @@ def apply_linear(q: QuantLinear, x: jax.Array, *, block_m: int = 256, interpret:
 def dequantize_weight(q: QuantLinear, out_dtype=jnp.bfloat16, interpret: bool | None = None) -> jax.Array:
     """Materialize W (n_out, k_in) — reference dequantize_fp4 parity
     (__init__.py:88-123); used for lm_head-style fallbacks and tests."""
+    D = q.k_shards
+    kp = q.packed.shape[0]
     wt = K.dequantize_tpu(
         q.packed,
-        q.absmax,
+        _absmax(q),
         q.codebook,
         blocksize=q.blocksize,
         out_dtype=out_dtype,
         interpret=interpret,
     )
+    if D > 1:
+        # kernel output is [hi panels of all shards; lo panels of all shards]
+        # in shard-major order within each half — undo to true Wt row order
+        n = wt.shape[1]
+        wt = wt.reshape(2, D, kp // D, n).transpose(1, 0, 2, 3).reshape(2 * kp, n)
     return wt[: q.k_in, : q.n_out].T

@@ -1,0 +1,456 @@
+"""Llama/Mistral-family decoder with FP4 weight-only linears.
+
+The reference library stops at the linear layer and relies on HuggingFace for
+the model (examples/speed_test_mistral_7b.py:20-31); the TPU framework owns
+the whole forward pass so decode can be one jitted program (BASELINE.json
+configs 2-4).  Everything here is functional: parameters are immutable pytrees
+(bf16 norms/embeddings + :class:`~torch_bnb_fp4_tpu.models.linear.QuantLinear`
+for every weight matrix), and prefill/decode are pure jittable functions.
+
+Architecture covered (Mistral-7B / TinyLlama / Llama-2 geometry):
+  * RMSNorm (eps configurable)
+  * rotary position embeddings (theta configurable)
+  * grouped-query attention with bf16 KV cache, causal masking, optional
+    sliding window (Mistral)
+  * SwiGLU MLP
+  * optional bf16 (unquantized) lm_head — parity with the reference's
+    ignore-list that keeps lm_head full precision
+    (torch_bnb_fp4/__init__.py:788).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .linear import DenseLinear, QuantLinear, apply_linear, dense_linear, quantize_linear
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static decoder geometry (hashable; safe as a jit static arg)."""
+
+    vocab_size: int
+    dim: int
+    n_layers: int
+    n_heads: int
+    n_kv_heads: int
+    ffn_dim: int
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    sliding_window: int | None = None
+    quantize_lm_head: bool = False
+    blocksize: int = 64
+    quant_type: str = "fp4"
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+    @classmethod
+    def mistral_7b(cls) -> "ModelConfig":
+        # geometry of Mistral-7B-Instruct-v0.2 (the reference's e2e model,
+        # examples/speed_test_mistral_7b.py:20)
+        return cls(
+            vocab_size=32000, dim=4096, n_layers=32, n_heads=32, n_kv_heads=8,
+            ffn_dim=14336, rope_theta=1e6, sliding_window=4096,
+        )
+
+    @classmethod
+    def tinyllama_1b(cls) -> "ModelConfig":
+        return cls(
+            vocab_size=32000, dim=2048, n_layers=22, n_heads=32, n_kv_heads=4,
+            ffn_dim=5632, rope_theta=10000.0,
+        )
+
+    @classmethod
+    def llama2_70b(cls) -> "ModelConfig":
+        return cls(
+            vocab_size=32000, dim=8192, n_layers=80, n_heads=64, n_kv_heads=8,
+            ffn_dim=28672, rope_theta=10000.0,
+        )
+
+    @classmethod
+    def tiny_test(cls, **kw) -> "ModelConfig":
+        """Small geometry for CPU/interpret tests (K multiples of 1024)."""
+        d = dict(vocab_size=256, dim=1024, n_layers=2, n_heads=8, n_kv_heads=4,
+                 ffn_dim=2048)
+        d.update(kw)
+        return cls(**d)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LayerParams:
+    attn_norm: jax.Array  # (dim,)
+    wq: QuantLinear
+    wk: QuantLinear
+    wv: QuantLinear
+    wo: QuantLinear
+    mlp_norm: jax.Array  # (dim,)
+    w_gate: QuantLinear
+    w_up: QuantLinear
+    w_down: QuantLinear
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ModelParams:
+    embed: jax.Array  # (vocab, dim) bf16
+    layers: list[LayerParams]
+    final_norm: jax.Array  # (dim,)
+    # lm_head: QuantLinear if cfg.quantize_lm_head else bf16 (dim, vocab)
+    lm_head: Any
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KVCache:
+    """bf16 KV cache, one (B, max_len, n_kv, head_dim) pair per layer."""
+
+    k: list[jax.Array]
+    v: list[jax.Array]
+    length: jax.Array  # i32 scalar: number of valid positions
+
+    @classmethod
+    def zeros(cls, cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> "KVCache":
+        shape = (batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+        return cls(
+            k=[jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)],
+            v=[jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)],
+            length=jnp.zeros((), jnp.int32),
+        )
+
+    @property
+    def max_len(self) -> int:
+        return self.k[0].shape[1]
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * scale).astype(x.dtype) * weight
+
+
+def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """Rotary embedding.  x: (B, L, H, D), positions: (B, L) or (L,)."""
+    d = x.shape[-1]
+    freqs = theta ** (-jnp.arange(0, d // 2, dtype=jnp.float32) / (d // 2))
+    angles = positions.astype(jnp.float32)[..., None] * freqs  # (B, L, D/2)
+    cos = jnp.cos(angles)[..., None, :]  # (B, L, 1, D/2)
+    sin = jnp.sin(angles)[..., None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _attention(
+    q: jax.Array,  # (B, Lq, Hq, D)
+    k: jax.Array,  # (B, Lk, Hk, D)
+    v: jax.Array,
+    q_positions: jax.Array,  # (B, Lq) absolute positions of queries
+    kv_valid: jax.Array,  # (B, Lk) bool: cache slot holds a real token
+    kv_positions: jax.Array,  # (Lk,) absolute position of each cache slot
+    sliding_window: int | None,
+) -> jax.Array:
+    b, lq, hq, d = q.shape
+    hk = k.shape[2]
+    group = hq // hk
+    qf = q.reshape(b, lq, hk, group, d).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    logits = jnp.einsum("blhgd,bshd->bhgls", qf, kf) / np.sqrt(d)
+    # causal + validity (+ sliding window) mask
+    qpos = q_positions[:, None, None, :, None]  # (B,1,1,Lq,1)
+    kpos = kv_positions[None, None, None, None, :]  # (1,1,1,1,Lk)
+    mask = (kpos <= qpos) & kv_valid[:, None, None, None, :]
+    if sliding_window is not None:
+        mask = mask & (kpos > qpos - sliding_window)
+    logits = jnp.where(mask, logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhgls,bshd->blhgd", probs, vf)
+    return out.reshape(b, lq, hq, d).astype(q.dtype)
+
+
+def _layer_forward(
+    lp: LayerParams,
+    cfg: ModelConfig,
+    x: jax.Array,  # (B, L, dim)
+    positions: jax.Array,  # (B, L)
+    k_cache: jax.Array,  # (B, max_len, Hk, D)
+    v_cache: jax.Array,
+    cache_len: jax.Array,  # i32: write offset
+    kv_positions: jax.Array,  # (max_len,)
+    kv_valid: jax.Array,  # (B, max_len)
+    axis_name: str | None = None,  # TP mesh axis; lp then holds LOCAL shards
+):
+    """One decoder block.  When ``axis_name`` is set (tensor parallelism via
+    shard_map, see parallel/tp.py), ``lp``'s linears are local views —
+    wq/wk/wv/w_gate/w_up column-parallel, wo/w_down row-parallel — and the
+    two row-parallel outputs are psum'd (Megatron pattern: 2 collectives per
+    block, inserted where XLA's latency-hiding scheduler can overlap them
+    with the next fused dequant-matmul)."""
+    b, l, _ = x.shape
+    n_heads = lp.wq.n_out // cfg.head_dim  # local under TP
+    n_kv = lp.wk.n_out // cfg.head_dim
+
+    def _reduce(y, bias):
+        # partials stay f32 until after the cross-shard sum (bf16 rounding of
+        # per-shard partials would add O(tp) ulps of noise per layer)
+        if axis_name is not None:
+            y = jax.lax.psum(y, axis_name)
+        if bias is not None:
+            y = y + bias
+        return y.astype(x.dtype)
+
+    def _row_parallel(q_lin, h_in):
+        out_dtype = jnp.float32 if axis_name is not None else None
+        return q_lin(h_in, out_dtype=out_dtype)
+
+    h = rms_norm(x, lp.attn_norm, cfg.rms_eps)
+    q = lp.wq(h).reshape(b, l, n_heads, cfg.head_dim)
+    k = lp.wk(h).reshape(b, l, n_kv, cfg.head_dim)
+    v = lp.wv(h).reshape(b, l, n_kv, cfg.head_dim)
+    q = rope(q, positions, cfg.rope_theta)
+    k = rope(k, positions, cfg.rope_theta)
+    k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k.astype(k_cache.dtype), cache_len, axis=1)
+    v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v.astype(v_cache.dtype), cache_len, axis=1)
+    attn = _attention(q, k_cache, v_cache, positions, kv_valid, kv_positions, cfg.sliding_window)
+    wo, wo_bias = _split_bias(lp.wo, axis_name)
+    x = x + _reduce(_row_parallel(wo, attn.reshape(b, l, n_heads * cfg.head_dim)), wo_bias)
+    h = rms_norm(x, lp.mlp_norm, cfg.rms_eps)
+    gate = lp.w_gate(h)
+    up = lp.w_up(h)
+    wd, wd_bias = _split_bias(lp.w_down, axis_name)
+    x = x + _reduce(_row_parallel(wd, jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up), wd_bias)
+    return x, k_cache, v_cache
+
+
+def _split_bias(q: QuantLinear, axis_name: str | None):
+    """Row-parallel layers must add bias AFTER the psum (once, not per shard)."""
+    if axis_name is None or q.bias is None:
+        return q, None
+    return dataclasses.replace(q, bias=None), q.bias
+
+
+def forward(
+    params: ModelParams,
+    cfg: ModelConfig,
+    tokens: jax.Array,  # (B, L) i32
+    cache: KVCache,
+    positions: jax.Array | None = None,  # (B, L); default arange from cache.length
+) -> tuple[jax.Array, KVCache]:
+    """Run L tokens through the model, appending to the cache.
+
+    Returns (logits (B, L, vocab) f32, updated cache).  Works for prefill
+    (L>1, cache empty) and decode (L=1) alike — under jit these trace to two
+    separate specialized programs, the TPU analogue of the reference's
+    runtime GEMV/GEMM dispatch (torch_bnb_fp4/__init__.py:592-617).
+    """
+    b, l = tokens.shape
+    max_len = cache.max_len
+    if positions is None:
+        positions = cache.length + jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32), (b, l))
+    x = params.embed[tokens].astype(jnp.bfloat16)
+    kv_positions = jnp.arange(max_len, dtype=jnp.int32)
+    new_len = cache.length + l
+    kv_valid = jnp.broadcast_to(kv_positions[None, :] < new_len, (b, max_len))
+    ks, vs = [], []
+    for i, lp in enumerate(params.layers):
+        x, kc, vc = _layer_forward(
+            lp, cfg, x, positions, cache.k[i], cache.v[i], cache.length,
+            kv_positions, kv_valid,
+        )
+        ks.append(kc)
+        vs.append(vc)
+    x = rms_norm(x, params.final_norm, cfg.rms_eps)
+    if isinstance(params.lm_head, (QuantLinear, DenseLinear)):
+        logits = params.lm_head(x, out_dtype=jnp.float32)
+    else:
+        logits = (x.astype(jnp.float32) @ params.lm_head.astype(jnp.float32))
+    return logits, KVCache(k=ks, v=vs, length=new_len)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def prefill(params: ModelParams, cfg: ModelConfig, tokens: jax.Array, cache: KVCache):
+    """Prefill: run the prompt, return (last-position logits (B, vocab), cache)."""
+    logits, cache = forward(params, cfg, tokens, cache)
+    return logits[:, -1], cache
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def decode_step(params: ModelParams, cfg: ModelConfig, token: jax.Array, cache: KVCache):
+    """One greedy decode step.  token (B,) i32 -> (next_token (B,), cache)."""
+    logits, cache = forward(params, cfg, token[:, None], cache)
+    return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+
+
+def generate(
+    params: ModelParams,
+    cfg: ModelConfig,
+    prompt: jax.Array,  # (B, Lp)
+    max_new_tokens: int,
+    max_len: int | None = None,
+) -> jax.Array:
+    """Greedy generation: returns (B, max_new_tokens) of generated tokens.
+
+    The decode loop is a single jitted ``lax.scan`` — one XLA program for the
+    whole generation, no per-token dispatch overhead (the reference pays a
+    Python->C++->kernel round trip per layer per token).
+    """
+    b, lp = prompt.shape
+    if max_len is None:
+        max_len = lp + max_new_tokens
+    cache = KVCache.zeros(cfg, b, max_len)
+    first, cache = prefill(params, cfg, prompt, cache)
+    first_tok = jnp.argmax(first, axis=-1).astype(jnp.int32)
+
+    @partial(jax.jit, static_argnames=("cfg", "n"))
+    def scan_decode(params, cfg, first_tok, cache, n):
+        def step(carry, _):
+            tok, cache = carry
+            nxt, cache = forward(params, cfg, tok[:, None], cache)
+            nxt = jnp.argmax(nxt[:, -1], axis=-1).astype(jnp.int32)
+            return (nxt, cache), tok
+
+        (_, _), toks = jax.lax.scan(step, (first_tok, cache), None, length=n)
+        return toks.T  # (B, n)
+
+    return scan_decode(params, cfg, first_tok, cache, max_new_tokens)
+
+
+# ---------------------------------------------------------------------------
+# Parameter construction
+# ---------------------------------------------------------------------------
+
+def _ql(w: np.ndarray, cfg: ModelConfig) -> QuantLinear:
+    return quantize_linear(w, blocksize=cfg.blocksize, quant_type=cfg.quant_type)
+
+
+def quantize_params(cfg: ModelConfig, weights: dict[str, np.ndarray]) -> ModelParams:
+    """Build ModelParams from a dict of fp weights (HF llama naming, see
+    convert/hf.py).  Quantizes every linear; embeddings/norms stay bf16."""
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}."
+        layers.append(LayerParams(
+            attn_norm=jnp.asarray(weights[p + "input_layernorm.weight"], jnp.bfloat16),
+            wq=_ql(weights[p + "self_attn.q_proj.weight"], cfg),
+            wk=_ql(weights[p + "self_attn.k_proj.weight"], cfg),
+            wv=_ql(weights[p + "self_attn.v_proj.weight"], cfg),
+            wo=_ql(weights[p + "self_attn.o_proj.weight"], cfg),
+            mlp_norm=jnp.asarray(weights[p + "post_attention_layernorm.weight"], jnp.bfloat16),
+            w_gate=_ql(weights[p + "mlp.gate_proj.weight"], cfg),
+            w_up=_ql(weights[p + "mlp.up_proj.weight"], cfg),
+            w_down=_ql(weights[p + "mlp.down_proj.weight"], cfg),
+        ))
+    embed = jnp.asarray(weights["model.embed_tokens.weight"], jnp.bfloat16)
+    lm_w = weights.get("lm_head.weight")
+    if lm_w is None:  # tied embeddings
+        lm_w = weights["model.embed_tokens.weight"]
+    if cfg.quantize_lm_head:
+        lm_head = _ql(np.asarray(lm_w), cfg)
+    else:
+        lm_head = dense_linear(lm_w)
+    return ModelParams(
+        embed=embed,
+        layers=layers,
+        final_norm=jnp.asarray(weights["model.norm.weight"], jnp.bfloat16),
+        lm_head=lm_head,
+    )
+
+
+def dense_params(cfg: ModelConfig, weights: dict[str, np.ndarray], dtype=jnp.bfloat16) -> ModelParams:
+    """Unquantized ModelParams (DenseLinear everywhere): the bf16 twin used as
+    the speed baseline and correctness oracle, running through the *same*
+    forward/decode code as the quantized model."""
+
+    def dl(name: str) -> DenseLinear:
+        return dense_linear(weights[name], dtype=dtype)
+
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}."
+        layers.append(LayerParams(
+            attn_norm=jnp.asarray(weights[p + "input_layernorm.weight"], dtype),
+            wq=dl(p + "self_attn.q_proj.weight"),
+            wk=dl(p + "self_attn.k_proj.weight"),
+            wv=dl(p + "self_attn.v_proj.weight"),
+            wo=dl(p + "self_attn.o_proj.weight"),
+            mlp_norm=jnp.asarray(weights[p + "post_attention_layernorm.weight"], dtype),
+            w_gate=dl(p + "mlp.gate_proj.weight"),
+            w_up=dl(p + "mlp.up_proj.weight"),
+            w_down=dl(p + "mlp.down_proj.weight"),
+        ))
+    lm_w = weights.get("lm_head.weight")
+    if lm_w is None:
+        lm_w = weights["model.embed_tokens.weight"]
+    return ModelParams(
+        embed=jnp.asarray(weights["model.embed_tokens.weight"], dtype),
+        layers=layers,
+        final_norm=jnp.asarray(weights["model.norm.weight"], dtype),
+        lm_head=dense_linear(lm_w, dtype=dtype),
+    )
+
+
+def random_weights(cfg: ModelConfig, seed: int = 0, scale: float = 0.02) -> dict[str, np.ndarray]:
+    """Random fp32 weights in HF llama naming — for tests and benchmarks."""
+    rng = np.random.default_rng(seed)
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    out = {
+        "model.embed_tokens.weight": w(cfg.vocab_size, cfg.dim),
+        "model.norm.weight": np.ones(cfg.dim, np.float32),
+        "lm_head.weight": w(cfg.vocab_size, cfg.dim),
+    }
+    kv_dim = cfg.n_kv_heads * cfg.head_dim
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}."
+        out[p + "input_layernorm.weight"] = np.ones(cfg.dim, np.float32)
+        out[p + "post_attention_layernorm.weight"] = np.ones(cfg.dim, np.float32)
+        out[p + "self_attn.q_proj.weight"] = w(cfg.dim, cfg.dim)
+        out[p + "self_attn.k_proj.weight"] = w(kv_dim, cfg.dim)
+        out[p + "self_attn.v_proj.weight"] = w(kv_dim, cfg.dim)
+        out[p + "self_attn.o_proj.weight"] = w(cfg.dim, cfg.dim)
+        out[p + "mlp.gate_proj.weight"] = w(cfg.ffn_dim, cfg.dim)
+        out[p + "mlp.up_proj.weight"] = w(cfg.ffn_dim, cfg.dim)
+        out[p + "mlp.down_proj.weight"] = w(cfg.dim, cfg.ffn_dim)
+    return out
+
+
+def reference_forward(cfg: ModelConfig, weights: dict[str, np.ndarray], tokens: np.ndarray) -> jax.Array:
+    """Unquantized bf16 forward (no cache) — the twin-model correctness oracle
+    (reference sanity_check.py:130-171 pattern).  Returns logits (B, L, V)."""
+    b, l = tokens.shape
+
+    def lin(name, x):
+        wt = jnp.asarray(weights[name], jnp.float32).T.astype(jnp.bfloat16)
+        return x @ wt
+
+    x = jnp.asarray(weights["model.embed_tokens.weight"], jnp.bfloat16)[tokens]
+    positions = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32), (b, l))
+    kv_positions = jnp.arange(l, dtype=jnp.int32)
+    kv_valid = jnp.ones((b, l), bool)
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}."
+        h = rms_norm(x, jnp.asarray(weights[p + "input_layernorm.weight"], jnp.bfloat16), cfg.rms_eps)
+        q = lin(p + "self_attn.q_proj.weight", h).reshape(b, l, cfg.n_heads, cfg.head_dim)
+        k = lin(p + "self_attn.k_proj.weight", h).reshape(b, l, cfg.n_kv_heads, cfg.head_dim)
+        v = lin(p + "self_attn.v_proj.weight", h).reshape(b, l, cfg.n_kv_heads, cfg.head_dim)
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
+        attn = _attention(q, k, v, positions, kv_valid, kv_positions, cfg.sliding_window)
+        x = x + lin(p + "self_attn.o_proj.weight", attn.reshape(b, l, cfg.dim))
+        h = rms_norm(x, jnp.asarray(weights[p + "post_attention_layernorm.weight"], jnp.bfloat16), cfg.rms_eps)
+        gate = lin(p + "mlp.gate_proj.weight", h)
+        up = lin(p + "mlp.up_proj.weight", h)
+        x = x + lin(p + "mlp.down_proj.weight", jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up)
+    x = rms_norm(x, jnp.asarray(weights["model.norm.weight"], jnp.bfloat16), cfg.rms_eps)
+    return (x.astype(jnp.float32) @ jnp.asarray(weights["lm_head.weight"], jnp.float32).T)

@@ -96,9 +96,18 @@ def quantize_codes(w: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE, code: np.n
     # Normalize each block to [-1, 1]; nearest codebook entry.
     safe = np.where(absmax == 0.0, 1.0, absmax)
     normed = blocks / safe[:, None]
-    # nearest-entry search against the 16-entry codebook
-    dist = np.abs(normed[..., None] - code[None, None, :])
-    codes = np.argmin(dist, axis=-1).astype(np.uint8)
+    # nearest-entry via 15 midpoint comparisons (vectorized; no (n, 16) temp
+    # and ~10x faster than np.searchsorted at checkpoint scale).  Tie at an
+    # exact midpoint picks the smaller value; ties are measure-zero for real
+    # weights.
+    order = np.argsort(code, kind="stable").astype(np.uint8)
+    sorted_code = code[order]
+    mids = (sorted_code[1:] + sorted_code[:-1]) / 2
+    flat_normed = normed.reshape(-1)
+    idx = np.zeros(flat_normed.shape, np.uint8)
+    for m in mids:
+        idx += flat_normed > m
+    codes = order[idx]
     return codes.reshape(-1), absmax
 
 
@@ -204,6 +213,56 @@ def unpack_tpu(packed: np.ndarray, absmax: np.ndarray, blocksize: int = DEFAULT_
     vals = code[codes_t.astype(np.int64)]  # (K, N)
     scales = np.repeat(absmax.astype(np.float32), blocksize, axis=0)  # (K, N)
     return vals * scales
+
+
+def pack_tpu_sharded(w: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE, code: np.ndarray = FP4_CODE, k_shards: int = 1):
+    """Quantize + pack with the K axis pre-sliced into ``k_shards`` contiguous
+    shards, each packed independently in the split-K layout.
+
+    This is the layout that makes **row-parallel tensor sharding** of packed
+    weights a plain contiguous ``NamedSharding``: device ``d`` of ``D`` takes
+    rows ``[d*K/(2D), (d+1)*K/(2D))`` of ``packed`` and rows
+    ``[d*K/(2D*bs), ...)`` of each absmax half, and what it holds is a valid
+    self-contained split-K packing of Wt rows ``[d*K/D, (d+1)*K/D)`` — i.e.
+    exactly the features its shard of the preceding (column-parallel) layer
+    produces.  The absmax grid (hence quantization error) is identical to the
+    unsharded pack because blocks run along K and ``K/D % blocksize == 0``.
+
+    Returns (packed (K//2, N) uint8, absmax_hi (K//(2*bs), N) f32,
+    absmax_lo (same)).  ``k_shards=1`` is the plain layout of
+    :func:`pack_tpu` with absmax split into its hi/lo halves.
+    """
+    w = np.asarray(w, dtype=np.float32)
+    n_out, k_in = w.shape
+    if k_in % (k_shards * 2 * blocksize) != 0:
+        raise ValueError(f"K={k_in} must be divisible by k_shards*2*blocksize={k_shards * 2 * blocksize}")
+    k_loc = k_in // k_shards
+    ps, his, los = [], [], []
+    for d in range(k_shards):
+        p, a = pack_tpu(w[:, d * k_loc : (d + 1) * k_loc], blocksize, code)
+        half = a.shape[0] // 2
+        ps.append(p)
+        his.append(a[:half])
+        los.append(a[half:])
+    return (
+        np.ascontiguousarray(np.concatenate(ps, axis=0)),
+        np.ascontiguousarray(np.concatenate(his, axis=0)),
+        np.ascontiguousarray(np.concatenate(los, axis=0)),
+    )
+
+
+def unpack_tpu_sharded(packed: np.ndarray, absmax_hi: np.ndarray, absmax_lo: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE, code: np.ndarray = FP4_CODE, k_shards: int = 1) -> np.ndarray:
+    """Golden inverse of :func:`pack_tpu_sharded` -> Wt float32 (K, N)."""
+    kp, n = packed.shape
+    kp_loc = kp // k_shards
+    s_loc = absmax_hi.shape[0] // k_shards
+    parts = []
+    for d in range(k_shards):
+        a = np.concatenate(
+            [absmax_hi[d * s_loc : (d + 1) * s_loc], absmax_lo[d * s_loc : (d + 1) * s_loc]], axis=0
+        )
+        parts.append(unpack_tpu(packed[d * kp_loc : (d + 1) * kp_loc], a, blocksize, code))
+    return np.concatenate(parts, axis=0)
 
 
 def tpu_layout_from_bnb(packed_flat: np.ndarray, absmax_flat: np.ndarray, shape, blocksize: int = DEFAULT_BLOCKSIZE):

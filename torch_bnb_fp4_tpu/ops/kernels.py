@@ -46,10 +46,38 @@ from . import format as fmt
 _MANT_43 = 0x2AAAAB  # mantissa field of f32(4/3) = 0x3FAAAAAB
 _C1_BITS = (119 << 23) | _MANT_43  # f32(1/192) = 4/3 * 2^-8
 
-# K must be a multiple of this (the layer API zero-pads): guarantees kp = K/2
+# Preferred K multiple (the layer API zero-pads to it): guarantees kp = K/2
 # is a multiple of 512, so absmax tiles (block_kp/64, n) have >= 8 sublanes —
 # a Mosaic block-shape requirement (last two block dims divisible by (8, 128)).
+# Smaller K (row-parallel TP shards) is allowed via a single full-kp block:
+# Mosaic permits a block dim equal to the full array dim.
 K_QUANTUM = 1024
+
+
+def _split_absmax(absmax, kp: int, blocksize: int, n: int):
+    """Normalize absmax to its (hi, lo) halves, each (kp/blocksize, n).
+
+    Accepts either the pre-split pair (the QuantLinear layout — shardable
+    along K as one contiguous NamedSharding per half) or the single
+    (K/blocksize, n) array of ops.format.pack_tpu."""
+    rows = kp // blocksize
+    if isinstance(absmax, (tuple, list)):
+        shi, slo = absmax
+    else:
+        assert absmax.shape == (2 * rows, n), (absmax.shape, rows, n)
+        shi, slo = absmax[:rows], absmax[rows:]
+    assert shi.shape == (rows, n) and slo.shape == (rows, n), (shi.shape, slo.shape)
+    return shi, slo
+
+
+def _kp_block(kp: int, requested: int, blocksize: int) -> int:
+    """Pick the K-dim block for packed bytes (kp = K/2 rows)."""
+    if kp % 512 == 0:
+        return _choose_block(kp, requested, 512)
+    # small shard (row-parallel TP): one full-kp block.  u8 sublane quantum is
+    # 32; the absmax block then covers its whole (sub-512/64) dim, allowed.
+    assert kp % 32 == 0 and kp % blocksize == 0, (kp, blocksize)
+    return kp
 
 
 def _choose_block(dim: int, requested: int, quantum: int) -> int:
@@ -177,12 +205,10 @@ def dequantize_tpu(
     if decode_impl is None:
         decode_impl = "gather"  # measured faster than arith in the store-bound dequant kernel
     kp, n = packed.shape
-    k = 2 * kp
-    assert k % K_QUANTUM == 0, f"K={k} must be a multiple of {K_QUANTUM} (pad at pack time)"
-    assert absmax.shape == (k // blocksize, n), (absmax.shape, k, n)
+    shi, slo = _split_absmax(absmax, kp, blocksize, n)
     assert decode_impl in ("gather", "arith")
     assert codebook is None or decode_impl == "gather", "arith decode is FP4-only"
-    block_kp = _choose_block(kp, block_kp, 512)
+    block_kp = _kp_block(kp, block_kp, blocksize)
     block_n = _choose_block(n, block_n, 128)
     assert block_kp % blocksize == 0
     sblk = block_kp // blocksize
@@ -192,7 +218,7 @@ def dequantize_tpu(
         pl.BlockSpec(memory_space=pltpu.VMEM),  # code table, full (1, 128)
         pl.BlockSpec((block_kp, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((sblk, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((sblk, block_n), lambda i, j: (kp // block_kp + i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((sblk, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
     ]
     out_specs = [
         pl.BlockSpec((block_kp, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
@@ -212,7 +238,7 @@ def dequantize_tpu(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(make_code_table(codebook), packed, absmax, absmax)
+    )(make_code_table(codebook), packed, shi, slo)
     # hi holds Wt rows [0, K//2), lo holds rows [K//2, K)
     return jnp.concatenate([hi, lo], axis=0)
 
@@ -308,7 +334,7 @@ def matmul_fp4(
     k = 2 * kp
     m = x.shape[0]
     assert x.shape == (m, k), (x.shape, k)
-    assert absmax.shape == (k // blocksize, n)
+    shi, slo = _split_absmax(absmax, kp, blocksize, n)
     if decode_impl is None:
         # arith decode measured fastest in the MXU-fused kernel on v5e;
         # custom codebooks (NF4) require the gather path.
@@ -322,9 +348,8 @@ def matmul_fp4(
     x = x.astype(compute_dtype)
 
     # shrink blocks to problem size; pad M up to a sublane-aligned block
-    assert k % K_QUANTUM == 0, f"K={k} must be a multiple of {K_QUANTUM} (pad at pack time)"
     block_n = _choose_block(n, block_n, 128)
-    block_kp = _choose_block(kp, block_kp, 512)
+    block_kp = _kp_block(kp, block_kp, blocksize)
     min_m = 8 if compute_dtype == jnp.float32 else 16
     block_m = min(block_m, min_m * pl.cdiv(m, min_m))
     mp = block_m * pl.cdiv(m, block_m)
@@ -349,7 +374,7 @@ def matmul_fp4(
         pl.BlockSpec((block_m, block_kp), lambda i, j, kk: (i, nk + kk), memory_space=pltpu.VMEM),
         pl.BlockSpec((block_kp, block_n), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((sblk, block_n), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((sblk, block_n), lambda i, j, kk: (nk + kk, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((sblk, block_n), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
     ]
     out_spec = pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM)
@@ -377,7 +402,7 @@ def matmul_fp4(
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         cost_estimate=cost,
         interpret=interpret,
-    )(make_code_table(codebook), x, x, packed, absmax, absmax, bias)
+    )(make_code_table(codebook), x, x, packed, shi, slo, bias)
     return out[:m]
 
 

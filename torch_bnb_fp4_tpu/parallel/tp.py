@@ -1,0 +1,253 @@
+"""Tensor + data parallelism over a JAX device mesh (shard_map + collectives).
+
+The reference is single-process single-GPU (SURVEY.md §2.3: no
+torch.distributed anywhere); this subsystem exists because the north star
+(BASELINE.json:5) demands FP4-packed weights and KV cache tensor-sharded over
+a TPU pod slice with collectives overlapped against the fused dequant-matmul
+kernels.  TPU-native mechanism: a ``(data, model)`` `jax.sharding.Mesh`,
+`NamedSharding` on every pytree leaf, and one `shard_map` around the whole
+decoder step so the Pallas kernels see local shards and the only collectives
+are two `psum`s per block (Megatron column/row pattern) — XLA's latency-hiding
+scheduler overlaps them with the next layer's kernels.
+
+Sharding of the FP4 format respects its two granularities (SURVEY.md §7 "Hard
+parts"): shard boundaries land on byte (2-weight) and quantization-block
+(``blocksize``-weight) edges by construction —
+  * column-parallel (wq/wk/wv/w_gate/w_up): shard dim 1 (N lanes, 128-aligned)
+    of packed/absmax, bias over "model";
+  * row-parallel (wo/w_down): packed with ``k_shards = tp`` (see
+    ops/format.pack_tpu_sharded) so dim 0 of packed and of each absmax half
+    shards contiguously and each device holds a self-contained packing of
+    exactly the features its column-parallel shard produced;
+  * KV cache: heads over "model", batch over "data";
+  * lm_head: vocab over "model" — logits stay vocab-sharded, argmax happens
+    on the sharded global array (no gather on the decode hot path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import transformer as T
+from ..models.linear import DenseLinear, QuantLinear, local_view
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_model: int | None = None, n_data: int = 1, devices=None) -> Mesh:
+    """Build a (data, model) mesh.  Default: all devices on the model axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_model is None:
+        n_model = len(devices) // n_data
+    devices = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+
+
+def validate_tp(cfg: T.ModelConfig, tp: int) -> None:
+    """Check the geometry admits a model-axis width of ``tp``."""
+    kv_dim = cfg.n_kv_heads * cfg.head_dim
+    ok = (
+        cfg.n_heads % tp == 0
+        and cfg.n_kv_heads % tp == 0
+        and (kv_dim // tp) % 128 == 0
+        and (cfg.dim // tp) % 128 == 0
+        and (cfg.ffn_dim // tp) % 128 == 0
+        and cfg.dim % (tp * 2 * cfg.blocksize) == 0
+        and cfg.ffn_dim % (tp * 2 * cfg.blocksize) == 0
+        and cfg.vocab_size % tp == 0
+    )
+    if not ok:
+        raise ValueError(f"geometry {cfg} does not shard over tp={tp}")
+
+
+def quantize_params_tp(cfg: T.ModelConfig, weights: dict, tp: int) -> T.ModelParams:
+    """Like models.quantize_params but row-parallel layers (wo, w_down) are
+    packed with ``k_shards=tp`` so their K axis shards contiguously."""
+    validate_tp(cfg, tp)
+    params = T.quantize_params(cfg, weights)
+
+    def requant(name_suffix: str, i: int) -> QuantLinear:
+        w = weights[f"model.layers.{i}.{name_suffix}.weight"]
+        from ..models.linear import quantize_linear
+
+        return quantize_linear(w, blocksize=cfg.blocksize, quant_type=cfg.quant_type, k_shards=tp)
+
+    layers = [
+        dataclasses.replace(
+            lp,
+            wo=requant("self_attn.o_proj", i),
+            w_down=requant("mlp.down_proj", i),
+        )
+        for i, lp in enumerate(params.layers)
+    ]
+    return dataclasses.replace(params, layers=layers)
+
+
+# ---------------------------------------------------------------------------
+# Partition specs
+# ---------------------------------------------------------------------------
+
+_COL = dict(packed=P(None, MODEL_AXIS), absmax_hi=P(None, MODEL_AXIS), absmax_lo=P(None, MODEL_AXIS), bias=P(MODEL_AXIS), codebook=P(None))
+_ROW = dict(packed=P(MODEL_AXIS, None), absmax_hi=P(MODEL_AXIS, None), absmax_lo=P(MODEL_AXIS, None), bias=P(None), codebook=P(None))
+_ROW_PARALLEL = ("wo", "w_down")
+
+
+def _ql_field_spec(path) -> P:
+    """Spec for one leaf of a QuantLinear given its tree path."""
+    names = [getattr(k, "name", None) for k in path]
+    field = names[-1]
+    parent = names[-2] if len(names) >= 2 else None
+    table = _ROW if parent in _ROW_PARALLEL else _COL
+    return table[field]
+
+
+def param_specs(params: T.ModelParams) -> T.ModelParams:
+    """Same-structure pytree of PartitionSpecs for ModelParams."""
+
+    def spec(path, leaf):
+        names = [getattr(k, "name", None) for k in path]
+        if "embed" in names or "final_norm" in names or names[-1] in ("attn_norm", "mlp_norm"):
+            return P(*([None] * leaf.ndim))
+        if "lm_head" in names:
+            if names[-1] == "lm_head" and leaf.ndim == 2:
+                return P(None, MODEL_AXIS)  # raw bf16 (dim, vocab)
+            if names[-1] == "w":
+                return P(None, MODEL_AXIS)  # DenseLinear, vocab-sharded
+            if names[-1] == "bias":
+                return P(MODEL_AXIS)
+            return _ql_field_spec(path)  # quantized lm_head: column-parallel
+        return _ql_field_spec(path)
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def cache_specs(cache: T.KVCache) -> T.KVCache:
+    def spec(path, leaf):
+        if leaf.ndim == 4:
+            return P(DATA_AXIS, None, MODEL_AXIS, None)
+        return P()  # length scalar
+
+    return jax.tree_util.tree_map_with_path(spec, cache)
+
+
+def shard_params(params: T.ModelParams, mesh: Mesh) -> T.ModelParams:
+    """device_put every leaf against its NamedSharding."""
+    specs = param_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def shard_cache(cache: T.KVCache, mesh: Mesh) -> T.KVCache:
+    specs = cache_specs(cache)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
+    )
+
+
+# ---------------------------------------------------------------------------
+# shard_map'd forward
+# ---------------------------------------------------------------------------
+
+
+def _localize_params(params: T.ModelParams, cfg: T.ModelConfig, tp: int) -> T.ModelParams:
+    """Rewrite static shape metadata to per-device values (leaves are already
+    local inside shard_map)."""
+
+    def loc_layer(lp: T.LayerParams) -> T.LayerParams:
+        return dataclasses.replace(
+            lp,
+            wq=local_view(lp.wq, n_parts=tp),
+            wk=local_view(lp.wk, n_parts=tp),
+            wv=local_view(lp.wv, n_parts=tp),
+            wo=local_view(lp.wo, k_parts=tp),
+            w_gate=local_view(lp.w_gate, n_parts=tp),
+            w_up=local_view(lp.w_up, n_parts=tp),
+            w_down=local_view(lp.w_down, k_parts=tp),
+        )
+
+    lm_head = params.lm_head
+    if isinstance(lm_head, QuantLinear):
+        lm_head = local_view(lm_head, n_parts=tp)
+    elif isinstance(lm_head, DenseLinear):
+        lm_head = dataclasses.replace(lm_head, n_out=lm_head.n_out // tp)
+    return dataclasses.replace(
+        params, layers=[loc_layer(lp) for lp in params.layers], lm_head=lm_head
+    )
+
+
+def _tp_body(params, tokens, cache, cfg: T.ModelConfig, tp: int):
+    """Per-device forward: tokens (b_loc, L) -> (logits (b_loc, L, V/tp), cache)."""
+    params = _localize_params(params, cfg, tp)
+    b, l = tokens.shape
+    max_len = cache.max_len
+    positions = cache.length + jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32), (b, l))
+    x = params.embed[tokens].astype(jnp.bfloat16)
+    kv_positions = jnp.arange(max_len, dtype=jnp.int32)
+    new_len = cache.length + l
+    kv_valid = jnp.broadcast_to(kv_positions[None, :] < new_len, (b, max_len))
+    ks, vs = [], []
+    for i, lp in enumerate(params.layers):
+        x, kc, vc = T._layer_forward(
+            lp, cfg, x, positions, cache.k[i], cache.v[i], cache.length,
+            kv_positions, kv_valid, axis_name=MODEL_AXIS,
+        )
+        ks.append(kc)
+        vs.append(vc)
+    x = T.rms_norm(x, params.final_norm, cfg.rms_eps)
+    if isinstance(params.lm_head, (QuantLinear, DenseLinear)):
+        logits = params.lm_head(x, out_dtype=jnp.float32)
+    else:
+        logits = x.astype(jnp.float32) @ params.lm_head.astype(jnp.float32)
+    return logits, T.KVCache(k=ks, v=vs, length=new_len)
+
+
+def tp_forward_fn(params: T.ModelParams, cfg: T.ModelConfig, cache: T.KVCache, mesh: Mesh):
+    """Build the shard_map'd forward for this param/cache structure.
+
+    Returned fn: (params, tokens (B, L), cache) -> (logits (B, L, V) sharded
+    P(data, None, model), new cache).  Jit-compatible.
+    """
+    tp = mesh.shape[MODEL_AXIS]
+    pspecs = param_specs(params)
+    cspecs = cache_specs(cache)
+    return shard_map(
+        partial(_tp_body, cfg=cfg, tp=tp),
+        mesh=mesh,
+        in_specs=(pspecs, P(DATA_AXIS, None), cspecs),
+        out_specs=(P(DATA_AXIS, None, MODEL_AXIS), cspecs),
+        check_vma=False,
+    )
+
+
+def make_decode_step(params: T.ModelParams, cfg: T.ModelConfig, cache: T.KVCache, mesh: Mesh):
+    """Jitted greedy decode step over the mesh: (params, token (B,), cache) ->
+    (next_token (B,), cache).  Argmax runs on the vocab-sharded logits."""
+    fwd = tp_forward_fn(params, cfg, cache, mesh)
+
+    @jax.jit
+    def step(params, token, cache):
+        logits, cache = fwd(params, token[:, None], cache)
+        return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+
+    return step
+
+
+def make_prefill(params: T.ModelParams, cfg: T.ModelConfig, cache: T.KVCache, mesh: Mesh):
+    fwd = tp_forward_fn(params, cfg, cache, mesh)
+
+    @jax.jit
+    def pre(params, tokens, cache):
+        logits, cache = fwd(params, tokens, cache)
+        return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+
+    return pre
