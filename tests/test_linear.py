@@ -115,7 +115,9 @@ def test_k_sharded_packing_matches_unsharded(rng, k_shards):
         x = rng.standard_normal((m, k_in)).astype(np.float32)
         y1 = np.asarray(q1(jnp.asarray(x), interpret=True))
         yd = np.asarray(qd(jnp.asarray(x), interpret=True))
-        np.testing.assert_allclose(y1, yd, rtol=1e-6, atol=1e-6)
+        # same codes/scales; only f32 accumulation order differs (the sharded
+        # pack uses smaller K blocks) -> tolerance is f32 noise, not quant
+        np.testing.assert_allclose(y1, yd, rtol=1e-4, atol=1e-5)
 
 
 def test_local_view_shard_slices(rng):

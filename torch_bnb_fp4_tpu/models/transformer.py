@@ -111,11 +111,15 @@ class ModelParams:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class KVCache:
-    """bf16 KV cache, one (B, max_len, n_kv, head_dim) pair per layer."""
+    """bf16 KV cache, one (B, max_len, n_kv, head_dim) pair per layer.
+
+    ``length`` is PER SEQUENCE (B,) — each batch slot has its own write
+    offset, which is what continuous batching (serve/) requires; the
+    single-sequence API just keeps all entries equal."""
 
     k: list[jax.Array]
     v: list[jax.Array]
-    length: jax.Array  # i32 scalar: number of valid positions
+    length: jax.Array  # i32 (B,): valid positions per sequence
 
     @classmethod
     def zeros(cls, cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> "KVCache":
@@ -123,7 +127,7 @@ class KVCache:
         return cls(
             k=[jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)],
             v=[jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)],
-            length=jnp.zeros((), jnp.int32),
+            length=jnp.zeros((batch,), jnp.int32),
         )
 
     @property
@@ -184,7 +188,7 @@ def _layer_forward(
     positions: jax.Array,  # (B, L)
     k_cache: jax.Array,  # (B, max_len, Hk, D)
     v_cache: jax.Array,
-    cache_len: jax.Array,  # i32: write offset
+    cache_len: jax.Array,  # i32 (B,): per-sequence write offsets
     kv_positions: jax.Array,  # (max_len,)
     kv_valid: jax.Array,  # (B, max_len)
     axis_name: str | None = None,  # TP mesh axis; lp then holds LOCAL shards
@@ -218,8 +222,10 @@ def _layer_forward(
     v = lp.wv(h).reshape(b, l, n_kv, cfg.head_dim)
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
-    k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k.astype(k_cache.dtype), cache_len, axis=1)
-    v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v.astype(v_cache.dtype), cache_len, axis=1)
+    # per-sequence write offsets: vmapped dynamic-update-slice over the batch
+    upd = jax.vmap(lambda c, u, s: jax.lax.dynamic_update_slice_in_dim(c, u, s, axis=0))
+    k_cache = upd(k_cache, k.astype(k_cache.dtype), cache_len)
+    v_cache = upd(v_cache, v.astype(v_cache.dtype), cache_len)
     attn = _attention(q, k_cache, v_cache, positions, kv_valid, kv_positions, cfg.sliding_window)
     wo, wo_bias = _split_bias(lp.wo, axis_name)
     x = x + _reduce(_row_parallel(wo, attn.reshape(b, l, n_heads * cfg.head_dim)), wo_bias)
@@ -255,11 +261,11 @@ def forward(
     b, l = tokens.shape
     max_len = cache.max_len
     if positions is None:
-        positions = cache.length + jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32), (b, l))
+        positions = cache.length[:, None] + jnp.arange(l, dtype=jnp.int32)[None, :]
     x = params.embed[tokens].astype(jnp.bfloat16)
     kv_positions = jnp.arange(max_len, dtype=jnp.int32)
-    new_len = cache.length + l
-    kv_valid = jnp.broadcast_to(kv_positions[None, :] < new_len, (b, max_len))
+    new_len = cache.length + l  # (B,)
+    kv_valid = kv_positions[None, :] < new_len[:, None]
     ks, vs = [], []
     for i, lp in enumerate(params.layers):
         x, kc, vc = _layer_forward(

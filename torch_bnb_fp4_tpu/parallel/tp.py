@@ -134,7 +134,7 @@ def cache_specs(cache: T.KVCache) -> T.KVCache:
     def spec(path, leaf):
         if leaf.ndim == 4:
             return P(DATA_AXIS, None, MODEL_AXIS, None)
-        return P()  # length scalar
+        return P(DATA_AXIS)  # per-sequence lengths (B,)
 
     return jax.tree_util.tree_map_with_path(spec, cache)
 
@@ -190,11 +190,11 @@ def _tp_body(params, tokens, cache, cfg: T.ModelConfig, tp: int):
     params = _localize_params(params, cfg, tp)
     b, l = tokens.shape
     max_len = cache.max_len
-    positions = cache.length + jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32), (b, l))
+    positions = cache.length[:, None] + jnp.arange(l, dtype=jnp.int32)[None, :]
     x = params.embed[tokens].astype(jnp.bfloat16)
     kv_positions = jnp.arange(max_len, dtype=jnp.int32)
-    new_len = cache.length + l
-    kv_valid = jnp.broadcast_to(kv_positions[None, :] < new_len, (b, max_len))
+    new_len = cache.length + l  # (b_loc,)
+    kv_valid = kv_positions[None, :] < new_len[:, None]
     ks, vs = [], []
     for i, lp in enumerate(params.layers):
         x, kc, vc = T._layer_forward(

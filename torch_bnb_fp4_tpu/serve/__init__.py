@@ -1,0 +1,3 @@
+from .engine import Completion, Engine, EngineConfig, Request
+
+__all__ = ["Engine", "EngineConfig", "Request", "Completion"]

@@ -1,0 +1,203 @@
+"""Continuous-batching serving engine (single-controller, slot-based).
+
+The reference has no serving layer at all (its e2e example is a single
+`model.generate` call, examples/speed_test_mistral_7b.py:106-130); the north
+star (BASELINE.json:5) requires "an end-to-end continuous-batching decode
+loop".  TPU-native shape:
+
+  * one jitted BATCH decode step over B fixed slots — each slot has its own
+    cache offset (KVCache.length is per-sequence), so sequences of different
+    ages decode together in one program;
+  * prefill runs per-request (batch-1 jitted program) and its KV rows are
+    inserted into the slot's cache region on device;
+  * the Python host loop only moves token ids and bookkeeping — weights,
+    caches and logits never leave the device(s); with a mesh, both step
+    programs are the shard_map'd TP forward and the host loop is unchanged.
+
+Slot recycling: a finished slot's stale cache rows need no clearing — the
+next prefill overwrites rows [0, Lp) and resets length, and attention masks
+everything past length (kv_valid in models/transformer.forward).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import transformer as T
+
+log = logging.getLogger("torch_bnb_fp4_tpu.serve")
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: list[int]
+    max_new_tokens: int = 64
+    eos_id: int | None = None
+
+
+@dataclasses.dataclass
+class Completion:
+    uid: int
+    tokens: list[int]
+    prompt_len: int
+    finish_reason: str  # "eos" | "length"
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    max_batch: int = 8  # decode slots
+    max_len: int = 2048  # per-slot KV capacity
+
+
+class Engine:
+    """Single-host continuous-batching engine.
+
+    ``mesh=None`` runs single-chip; with a mesh, pass params already sharded
+    (parallel.shard_params) and the engine builds shard_map'd step programs.
+    """
+
+    def __init__(self, params: T.ModelParams, cfg: T.ModelConfig, ecfg: EngineConfig, mesh=None):
+        self.params = params
+        self.cfg = cfg
+        self.ecfg = ecfg
+        self.mesh = mesh
+        b, ml = ecfg.max_batch, ecfg.max_len
+        cache = T.KVCache.zeros(cfg, b, ml)
+        if mesh is not None:
+            from ..parallel import DATA_AXIS, shard_cache, tp_forward_fn
+
+            # one engine per data replica: prefill is batch-1, so the decode
+            # batch can't also be sharded over a data axis inside this engine
+            assert mesh.shape[DATA_AXIS] == 1, "serve engine wants a model-only mesh"
+            cache = shard_cache(cache, mesh)
+            self._fwd = tp_forward_fn(params, cfg, cache, mesh)
+        else:
+            self._fwd = lambda p, t, c: T.forward(p, cfg, t, c)
+        self.cache = cache
+
+        # host-side slot state
+        self.slot_req: list[Request | None] = [None] * b
+        self.slot_tokens: list[list[int]] = [[] for _ in range(b)]
+        self.slot_cur = np.zeros(b, np.int64)  # current token per slot
+        self.pending: deque[Request] = deque()
+        self.completions: list[Completion] = []
+        self._steps = 0
+        self._tokens_out = 0
+        self._t0 = time.perf_counter()
+
+        self._decode = jax.jit(self._decode_fn)
+        self._prefill = jax.jit(self._prefill_fn)
+
+    # -- jitted programs ---------------------------------------------------
+
+    def _decode_fn(self, params, tokens, cache):
+        logits, cache = self._fwd(params, tokens[:, None], cache)
+        return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+
+    def _prefill_fn(self, params, tokens, cache, slot, true_len):
+        """Run batch-1 prefill (length-bucketed padding) and splice its KV
+        rows into ``slot``.  ``tokens`` (1, Lp_pad); rows past ``true_len``
+        are garbage but masked forever by kv_valid (< length)."""
+        lp_pad = tokens.shape[1]
+        small = T.KVCache.zeros(self.cfg, 1, lp_pad)
+        logits, small = self._fwd(params, tokens, small)
+        ks, vs = [], []
+        for i in range(self.cfg.n_layers):
+            ks.append(jax.lax.dynamic_update_slice(cache.k[i], small.k[i], (slot, 0, 0, 0)))
+            vs.append(jax.lax.dynamic_update_slice(cache.v[i], small.v[i], (slot, 0, 0, 0)))
+        length = cache.length.at[slot].set(true_len)
+        last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1, axis=0, keepdims=False)
+        first = jnp.argmax(last, axis=-1).astype(jnp.int32)
+        return first, T.KVCache(k=ks, v=vs, length=length)
+
+    # -- host API ----------------------------------------------------------
+
+    def submit(self, req: Request) -> None:
+        if len(req.prompt) >= self.ecfg.max_len:
+            raise ValueError(f"prompt len {len(req.prompt)} >= max_len {self.ecfg.max_len}")
+        self.pending.append(req)
+
+    def _free_slots(self) -> list[int]:
+        return [i for i, r in enumerate(self.slot_req) if r is None]
+
+    def _admit(self) -> None:
+        for slot in self._free_slots():
+            if not self.pending:
+                break
+            req = self.pending.popleft()
+            lp = len(req.prompt)
+            lp_pad = (lp + 31) // 32 * 32  # bucket: one trace per 32-length bucket
+            padded = np.zeros((1, lp_pad), np.int32)
+            padded[0, :lp] = req.prompt
+            first, self.cache = self._prefill(
+                self.params, jnp.asarray(padded), self.cache,
+                jnp.int32(slot), jnp.int32(lp),
+            )
+            self.slot_req[slot] = req
+            self.slot_tokens[slot] = [int(first)]
+            self.slot_cur[slot] = int(first)
+            log.debug("admit uid=%d slot=%d prompt_len=%d", req.uid, slot, len(req.prompt))
+
+    def _retire(self, slot: int, reason: str) -> None:
+        req = self.slot_req[slot]
+        self.completions.append(
+            Completion(uid=req.uid, tokens=self.slot_tokens[slot], prompt_len=len(req.prompt), finish_reason=reason)
+        )
+        self.slot_req[slot] = None
+        self.slot_tokens[slot] = []
+
+    def step(self) -> int:
+        """One engine tick: admit pending requests, run one batched decode
+        step, retire finished slots.  Returns number of active slots."""
+        self._admit()
+        active = [i for i, r in enumerate(self.slot_req) if r is not None]
+        if not active:
+            return 0
+        # check EOS / length BEFORE spending a step on finished slots
+        for i in active:
+            req = self.slot_req[i]
+            toks = self.slot_tokens[i]
+            if req.eos_id is not None and toks and toks[-1] == req.eos_id:
+                self._retire(i, "eos")
+            elif len(toks) >= req.max_new_tokens:
+                self._retire(i, "length")
+            elif len(req.prompt) + len(toks) >= self.ecfg.max_len:
+                self._retire(i, "length")
+        active = [i for i, r in enumerate(self.slot_req) if r is not None]
+        if not active:
+            return 0
+
+        tokens = jnp.asarray(self.slot_cur.astype(np.int32))
+        nxt, self.cache = self._decode(self.params, tokens, self.cache)
+        nxt = np.asarray(nxt)
+        for i in active:
+            self.slot_tokens[i].append(int(nxt[i]))
+            self.slot_cur[i] = int(nxt[i])
+            self._tokens_out += 1
+        self._steps += 1
+        return len(active)
+
+    def run(self, requests: list[Request]) -> dict[int, Completion]:
+        """Serve a list of requests to completion; returns uid -> Completion."""
+        for r in requests:
+            self.submit(r)
+        while self.pending or any(r is not None for r in self.slot_req):
+            n = self.step()
+            if n == 0 and not self.pending:
+                break
+        dt = time.perf_counter() - self._t0
+        if self._steps:
+            log.info(
+                "served %d completions: %d decode steps, %d tokens, %.1f tok/s, avg occupancy %.2f",
+                len(self.completions), self._steps, self._tokens_out,
+                self._tokens_out / dt, self._tokens_out / max(self._steps, 1),
+            )
+        return {c.uid: c for c in self.completions}
