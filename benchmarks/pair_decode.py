@@ -33,19 +33,62 @@ REP = 200
 
 def decode_pair_bits(x_u8_as_i32):
     """(R, C) i32 holding bytes -> (R, C) i32 holding two bf16 bit patterns
-    (value = 192 * FP4_CODE[nibble]); low 16 bits = low nibble's value."""
+    (value = 192 * FP4_CODE[nibble]); low 16 bits = low nibble's value.
+    17 vector ops per byte-pair.
+
+    Identities: the six regular magnitudes {32,48,64,96,128,192} sorted by
+    magnitude index q=2..7 are exactly bf16 bits 0x4180 + q*0x40 (exponent
+    steps of 0x80 interleave with the 1.5x mantissa bit 0x40); [q >= 2] per
+    half = bit 3 of (q + 6); the m<2 exception value is q * 0x3F80 (q in
+    {0,1} there)."""
     X = x_u8_as_i32
-    c2 = ((X << 12) | X) & 0x000F000F
-    e2 = (c2 >> 1) & 0x00030003
-    b0 = c2 & 0x00010001
-    bits = ((0x00870087 - e2) << 7) | (b0 << 6)
-    t2 = c2 & 0x00060006
-    s1 = ((t2 | (t2 >> 1)) >> 1) & 0x00010001
+    t = (X << 12) | X
+    q2 = t & 0x00070007
+    bits = 0x41804180 + (q2 << 6)
+    s1 = ((q2 + 0x00060006) >> 3) & 0x00010001
     bits = bits & (s1 * 0xFFFF)
-    one = b0 & (s1 ^ 0x00010001)
+    one = q2 & (s1 ^ 0x00010001)
     bits = bits | (one * 0x3F80)
-    sg = (c2 & 0x00080008) << 12
-    return bits | sg
+    return bits | ((t & 0x00080008) << 12)
+
+
+_GLUT = None
+
+
+def _gather_tables():
+    """(1, 128) f32 tables whose BITS are the u16 deltas for lo (bits 0-15)
+    and hi (bits 16-31) nibbles."""
+    global _GLUT
+    if _GLUT is None:
+        import ml_dtypes
+
+        d = (192.0 * fmt.FP4_CODE[remap_rank(np.arange(16))]).astype(ml_dtypes.bfloat16).view(np.uint16).astype(np.uint32)
+        lo = np.zeros((1, 128), np.uint32)
+        hi = np.zeros((1, 128), np.uint32)
+        lo[0, :16] = d
+        hi[0, :16] = d << 16
+        _GLUT = (
+            jnp.asarray(lo.view(np.float32)),
+            jnp.asarray(hi.view(np.float32)),
+        )
+    return _GLUT
+
+
+def decode_pair_bits_gather(X, tlo, thi):
+    """Gather variant: 2 dynamic_gathers per byte (tables hold the full u16
+    delta incl sign and the 0/1 exceptions)."""
+    rows, cols = X.shape
+    lo = X & 0xF
+    hi = X >> 4
+    tl = jnp.broadcast_to(tlo, (rows, 128))
+    th = jnp.broadcast_to(thi, (rows, 128))
+    out = None
+    for c0 in range(0, cols, 128):
+        gl = jnp.take_along_axis(tl, lo[:, c0 : c0 + 128], axis=1)
+        gh = jnp.take_along_axis(th, hi[:, c0 : c0 + 128], axis=1)
+        bits = jax.lax.bitcast_convert_type(gl, jnp.int32) | jax.lax.bitcast_convert_type(gh, jnp.int32)
+        out = bits if out is None else jnp.concatenate([out, bits], axis=1)
+    return out
 
 
 def test_decode_exact():
@@ -57,8 +100,9 @@ def test_decode_exact():
 
     vals = u16.view(ml_dtypes.bfloat16).astype(np.float32)  # (256, 2)
     b = np.arange(256)
-    want_lo = 192.0 * fmt.FP4_CODE[b & 0xF]
-    want_hi = 192.0 * fmt.FP4_CODE[b >> 4]
+    # stored nibbles are rank-remapped; remap is an involution
+    want_lo = 192.0 * fmt.FP4_CODE[remap_rank(b & 0xF)]
+    want_hi = 192.0 * fmt.FP4_CODE[remap_rank(b >> 4)]
     np.testing.assert_array_equal(vals[:, 0], want_lo)
     np.testing.assert_array_equal(vals[:, 1], want_hi)
     print("decode_pair_bits exact for all 256 bytes", flush=True)
@@ -68,14 +112,18 @@ def test_decode_exact():
 # Candidate GEMV kernel (pair-K)
 # --------------------------------------------------------------------------
 
-def gemv_pairs_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, bs, nk):
+def gemv_pairs_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, bs, nk, impl, tabs):
     kk = pl.program_id(1)
 
     @pl.when(kk == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    bits = decode_pair_bits(p_ref[:].astype(jnp.int32))  # (BK2, BN)
+    X = p_ref[:].astype(jnp.int32)
+    if impl == "arith":
+        bits = decode_pair_bits(X)  # (BK2, BN)
+    else:
+        bits = decode_pair_bits_gather(X, *tabs)
     w = pltpu.bitcast(bits, jnp.bfloat16)  # (BK, BN), K contiguous
     bk = w.shape[0]
     x = x_ref[:]  # (BM, BK) bf16
@@ -95,7 +143,7 @@ def gemv_pairs_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, bs, nk):
         o_ref[:] = acc_ref[:].astype(jnp.bfloat16)
 
 
-def gemv_pairs(x, packed_pk, scale, bs=64, block_k=2048, block_n=None):
+def gemv_pairs(x, packed_pk, scale, bs=64, block_k=2048, block_n=None, impl="arith", semantics=None):
     k2, n = packed_pk.shape
     k = 2 * k2
     m = x.shape[0]
@@ -103,25 +151,54 @@ def gemv_pairs(x, packed_pk, scale, bs=64, block_k=2048, block_n=None):
         block_n = n
     nk = k // block_k
     grid = (n // block_n, nk)
+    tabs = _gather_tables() if impl == "gather" else None
+    in_specs = [
+        pl.BlockSpec((m, block_k), lambda j, kk: (0, kk), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_k // 2, block_n), lambda j, kk: (kk, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_k // bs, block_n), lambda j, kk: (kk, j), memory_space=pltpu.VMEM),
+    ]
+    operands = [x, packed_pk, scale]
+    if tabs is not None:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        operands += list(tabs)
+
+    def kern(x_ref, p_ref, s_ref, *rest):
+        ts = tuple(t[:] for t in rest[:-2]) if tabs is not None else ()
+        o_ref, acc_ref = rest[-2:]
+        gemv_pairs_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, bs=bs, nk=nk, impl=impl, tabs=ts)
+
+    kwargs = {
+        "compiler_params": pltpu.CompilerParams(
+            dimension_semantics=semantics, vmem_limit_bytes=100 * 2**20
+        )
+    }
     return pl.pallas_call(
-        lambda x_ref, p_ref, s_ref, o_ref, acc_ref: gemv_pairs_kernel(
-            x_ref, p_ref, s_ref, o_ref, acc_ref, bs=bs, nk=nk
-        ),
+        kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((m, block_k), lambda j, kk: (0, kk), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k // 2, block_n), lambda j, kk: (kk, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k // bs, block_n), lambda j, kk: (kk, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((m, block_n), lambda j, kk: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((m, block_n), jnp.float32)],
-    )(x, packed_pk, scale)
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n, bytes_accessed=k2 * n + m * k * 2, transcendentals=0
+        ),
+        **kwargs,
+    )(*operands)
+
+
+def remap_rank(c):
+    """FP4 magnitude index m -> rank in value order (involution: the six
+    regular magnitudes sorted ascending are m = 6,7,4,5,2,3, i.e. flip bit 2
+    of m iff bit 1 is set; m<2 and the sign bit pass through)."""
+    c = np.asarray(c)
+    return (c & 8) | ((c & 7) ^ ((c & 2) << 1))
 
 
 def pack_pairs(w, bs=64):
-    """w (N, K) -> packed_pk (K/2, N) u8, scale (K/bs, N) f32 (absmax/192)."""
+    """w (N, K) -> packed_pk (K/2, N) u8 (rank-remapped nibbles),
+    scale (K/bs, N) f32 (absmax/192)."""
     codes, absmax = fmt.quantize_codes(w, bs)  # flat over (N, K)
+    codes = remap_rank(codes).astype(np.uint8)
     n, k = w.shape
     ct = codes.reshape(n, k).T  # (K, N)
     pk = (ct[1::2].astype(np.uint8) << 4) | ct[0::2]
@@ -191,12 +268,23 @@ def main():
     pk, sc = pack_pairs(w)
     pk, sc = jnp.asarray(pk), jnp.asarray(sc)
 
-    # decoded bf16 w tile (bk x bn) materializes in VMEM: keep bk*bn*2 < ~16MB
-    for bk, bn in ((1024, 3584), (1024, 1792), (2048, 3584), (2048, 1792), (512, 7168), (4096, 1792), (1024, 7168)):
+    # correctness of the gather variant once
+    wt = fmt.unpack_tpu(*fmt.pack_tpu(w))
+    golden = np.asarray(x, np.float32) @ wt
+    try:
+        yg = np.asarray(gemv_pairs(x, pk, sc, block_k=1024, block_n=896, impl="gather"), np.float32)
+        print(f"gather impl rel err: {np.abs(yg-golden).max()/np.abs(golden).max():.2e}", flush=True)
+    except Exception as e:
+        print(f"gather impl FAILED: {str(e)[:150]}", flush=True)
+
+    # decoded bf16 w tile (bk x bn) materializes in VMEM
+    SEM = ("parallel", "arbitrary")
+    for bk, bn in ((256, 3584), (256, 7168), (512, 3584), (512, 7168), (512, 1792), (1024, 3584), (1024, 7168)):
+        tag = f"pairs[arith17] bk={bk} bn={bn}"
         try:
-            bench(f"pairs bk={bk} bn={bn}", lambda a, b, c, bk=bk, bn=bn: gemv_pairs(a, b, c, block_k=bk, block_n=bn), x, pk, sc)
+            bench(tag, lambda a, b, c, bk=bk, bn=bn: gemv_pairs(a, b, c, block_k=bk, block_n=bn, semantics=SEM), x, pk, sc)
         except Exception as e:
-            print(f"pairs bk={bk} bn={bn}: FAILED {str(e)[:150]}", flush=True)
+            print(f"{tag}: FAILED {str(e)[:120]}", flush=True)
 
     # current kernel + bf16 baseline
     from torch_bnb_fp4_tpu.ops import kernels as K

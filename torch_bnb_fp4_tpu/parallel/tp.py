@@ -42,6 +42,19 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def init_multihost(coordinator_address: str | None = None, num_processes: int | None = None, process_id: int | None = None) -> int:
+    """Multi-host bring-up (SURVEY.md §2.3): `jax.distributed.initialize` —
+    afterwards `jax.devices()` spans the slice and the same mesh/shard_map
+    code runs across hosts (GSPMD routes collectives over ICI/DCN).  On TPU
+    pods all args auto-detect from the metadata server.  Returns process id."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_index()
+
+
 def make_mesh(n_model: int | None = None, n_data: int = 1, devices=None) -> Mesh:
     """Build a (data, model) mesh.  Default: all devices on the model axis."""
     if devices is None:

@@ -1,0 +1,3 @@
+from .profiling import calibrate_rtt, fp4_matmul_roofline, time_fn, trace
+
+__all__ = ["trace", "time_fn", "calibrate_rtt", "fp4_matmul_roofline"]
