@@ -66,7 +66,8 @@ def test_checkpoint_roundtrip(tmp_path, rng):
 
 def test_checkpoint_load_with_tp_repack(tmp_path):
     """One stored checkpoint serves any tp: loading with tp=4 must equal
-    quantizing with k_shards=4 directly."""
+    quantizing for tp=4 directly.  (pairk needs no repacking; the splitk
+    repack path is covered by test_repack_k_shards_exact.)"""
     from torch_bnb_fp4_tpu.parallel import quantize_params_tp
 
     weights = T.random_weights(CFG, seed=11)
@@ -81,7 +82,7 @@ def test_checkpoint_load_with_tp_repack(tmp_path):
         np.asarray(params_tp.layers[0].w_down.absmax_hi),
         np.asarray(direct.layers[0].w_down.absmax_hi),
     )
-    assert params_tp.layers[0].wo.k_shards == 4
+    assert params_tp.layers[0].wo.layout == direct.layers[0].wo.layout
 
 
 def _write_hf_checkpoint(path, cfg, weights):

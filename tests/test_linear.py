@@ -34,12 +34,12 @@ def test_forward_shapes(rng, shape):
 
 
 def test_odd_shapes_padded(rng):
-    # K=300 (pads to 1024), N=70 (pads to 128) — reference requires
-    # K % blocksize == 0 for GEMV (__init__.py:592-593); we pad instead.
-    # (For K not a multiple of blocksize, bnb's flat blocks straddle rows;
-    # our per-row padded blocks differ there — equal-or-better error.)
+    # K=300 (pads to the layout quantum: 512 for pairk), N=70 (pads to 128) —
+    # reference requires K % blocksize == 0 for GEMV (__init__.py:592-593);
+    # we pad instead.  (For K not a multiple of blocksize, bnb's flat blocks
+    # straddle rows; our per-row padded blocks differ — equal-or-better error.)
     q, w, b = _mklayer(rng, 70, 300)
-    assert q.k_pad == 1024 and q.n_pad == 128
+    assert q.k_pad == 512 and q.n_pad == 128
     x = rng.standard_normal((3, 300)).astype(np.float32)
     y = q(jnp.asarray(x), interpret=True)
     assert y.shape == (3, 70)
@@ -103,9 +103,9 @@ def test_k_sharded_packing_matches_unsharded(rng, k_shards):
     the plain layout (same absmax grid, same codes, just row-reordered)."""
     n_out, k_in = 128, 2048
     w = (rng.standard_normal((n_out, k_in)) * 0.1).astype(np.float32)
-    q1 = L.quantize_linear(w)
+    q1 = L.quantize_linear(w, layout="splitk")
     qd = L.quantize_linear(w, k_shards=k_shards)
-    assert qd.k_shards == k_shards
+    assert qd.k_shards == k_shards and qd.layout == "splitk"
     # dequantized weights identical
     w1 = np.asarray(L.dequantize_weight(q1, out_dtype=jnp.float32, interpret=True))
     wd = np.asarray(L.dequantize_weight(qd, out_dtype=jnp.float32, interpret=True))

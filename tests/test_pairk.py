@@ -1,0 +1,158 @@
+"""Pair-K layout tests: golden exactness (all 256 bytes), kernel vs golden,
+layer forward, layout equivalence with split-K, TP contiguous sharding,
+checkpoint round-trip."""
+
+import dataclasses as dc
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_bnb_fp4_tpu.models import linear as L
+from torch_bnb_fp4_tpu.ops import format as fmt
+from torch_bnb_fp4_tpu.ops import kernels as K
+
+
+def test_rank_remap_involution():
+    r = fmt.RANK_REMAP
+    np.testing.assert_array_equal(r[r], np.arange(16))
+
+
+def test_decode_pairs_exact_all_bytes():
+    """All 256 bytes decode to the bf16 bits of 192*code[remap(nibble)]."""
+    import ml_dtypes
+
+    bits = np.asarray(K._decode_pairs(jnp.arange(256, dtype=jnp.int32).reshape(8, 32)))
+    bits = bits.view(np.uint32).reshape(-1)
+    u16 = np.stack([bits & 0xFFFF, bits >> 16], -1).astype(np.uint16)
+    vals = u16.view(ml_dtypes.bfloat16).astype(np.float32)
+    b = np.arange(256)
+    np.testing.assert_array_equal(vals[:, 0], 192.0 * fmt.FP4_CODE[fmt.RANK_REMAP[b & 0xF]])
+    np.testing.assert_array_equal(vals[:, 1], 192.0 * fmt.FP4_CODE[fmt.RANK_REMAP[b >> 4]])
+
+
+def test_pack_unpack_pairk_roundtrip(rng):
+    w = (rng.standard_normal((96, 1024)) * 0.1).astype(np.float32)
+    packed, scale = fmt.pack_tpu_pairk(w)
+    wt = fmt.unpack_tpu_pairk(packed, scale)
+    assert wt.shape == (1024, 96)
+    # agrees with the split-K golden up to one f32 rounding of absmax/192
+    wt_ref = fmt.unpack_tpu(*fmt.pack_tpu(w))
+    np.testing.assert_allclose(wt, wt_ref, rtol=3e-7, atol=1e-12)
+
+
+@pytest.mark.parametrize("out_dtype", [jnp.float32, jnp.bfloat16])
+def test_dequantize_tpu_pk_exact(rng, out_dtype):
+    w = (rng.standard_normal((128, 1024)) * 0.1).astype(np.float32)
+    packed, scale = fmt.pack_tpu_pairk(w)
+    golden = fmt.unpack_tpu_pairk(packed, scale)
+    out = K.dequantize_tpu_pk(
+        jnp.asarray(packed), jnp.asarray(scale), out_dtype=out_dtype, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out), golden.astype(np.asarray(out).dtype))
+
+
+@pytest.mark.parametrize("m", [1, 5, 64])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_matmul_pk_matches_golden(rng, m, dtype):
+    n_out, k_in = 256, 1024
+    w = (rng.standard_normal((n_out, k_in)) * 0.05).astype(np.float32)
+    packed, scale = fmt.pack_tpu_pairk(w)
+    x = jnp.asarray(rng.standard_normal((m, k_in)) * 0.5, dtype)
+    out = K.matmul_fp4_pk(x, jnp.asarray(packed), jnp.asarray(scale), interpret=True)
+    assert out.shape == (m, n_out) and out.dtype == dtype
+    golden = np.asarray(x, np.float32) @ fmt.unpack_tpu_pairk(packed, scale)
+    np.testing.assert_allclose(np.asarray(out, np.float32), golden, rtol=2e-2, atol=2e-3)
+
+
+def test_matmul_pk_bias(rng):
+    n_out, k_in = 128, 512
+    w = (rng.standard_normal((n_out, k_in)) * 0.05).astype(np.float32)
+    bias = rng.standard_normal(n_out).astype(np.float32)
+    packed, scale = fmt.pack_tpu_pairk(w)
+    x = rng.standard_normal((4, k_in)).astype(np.float32)
+    out = K.matmul_fp4_pk(jnp.asarray(x), jnp.asarray(packed), jnp.asarray(scale), jnp.asarray(bias), interpret=True)
+    golden = x @ fmt.unpack_tpu_pairk(packed, scale) + bias
+    np.testing.assert_allclose(np.asarray(out), golden, rtol=1e-5, atol=1e-5)
+
+
+def test_quant_linear_pairk_default_and_matches_splitk(rng):
+    n_out, k_in = 192, 1024
+    w = (rng.standard_normal((n_out, k_in)) * 0.1).astype(np.float32)
+    b = rng.standard_normal(n_out).astype(np.float32)
+    qp = L.quantize_linear(w, b)  # default layout for fp4
+    assert qp.layout == "pairk" and qp.absmax_lo is None
+    qs = L.quantize_linear(w, b, layout="splitk")
+    for shape in ((1, k_in), (3, k_in), (2, 2, k_in)):
+        x = rng.standard_normal(shape).astype(np.float32)
+        yp = np.asarray(qp(jnp.asarray(x), interpret=True))
+        ys = np.asarray(qs(jnp.asarray(x), interpret=True))
+        # same codes; scale differs by one f32 rounding of absmax/192
+        np.testing.assert_allclose(yp, ys, rtol=1e-4, atol=1e-5)
+    # dequantize_weight parity
+    wp = np.asarray(L.dequantize_weight(qp, out_dtype=jnp.float32, interpret=True))
+    ws = np.asarray(L.dequantize_weight(qs, out_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(wp, ws, rtol=3e-7, atol=1e-12)
+
+
+def test_error_band_pairk(rng):
+    """Reference acceptance band holds for the pairk hot path."""
+    k_in, n_out = 1024, 1024
+    bound = 1.0 / np.sqrt(k_in)
+    w = rng.uniform(-bound, bound, (n_out, k_in)).astype(np.float32)
+    q = L.quantize_linear(w)
+    x = rng.standard_normal((8, k_in)).astype(np.float32)
+    y = np.asarray(q(jnp.asarray(x), interpret=True))
+    err = np.abs(y - x @ w.T).mean()
+    assert 0.04 < err < 0.07, err
+
+
+def test_pairk_local_slices_sum_to_full(rng):
+    """Row-parallel contiguous slices of a pairk layer reproduce the full
+    result — no repacking needed (the TP sharding property)."""
+    n_out, k_in, D = 128, 2048, 4
+    w = (rng.standard_normal((n_out, k_in)) * 0.1).astype(np.float32)
+    q = L.quantize_linear(w)
+    x = rng.standard_normal((3, k_in)).astype(np.float32)
+    full = np.asarray(q(jnp.asarray(x), interpret=True))
+    kp_loc = q.packed.shape[0] // D
+    s_loc = q.absmax_hi.shape[0] // D
+    acc = np.zeros_like(full)
+    for d in range(D):
+        q_loc = dc.replace(
+            L.local_view(q, k_parts=D),
+            packed=q.packed[d * kp_loc : (d + 1) * kp_loc],
+            absmax_hi=q.absmax_hi[d * s_loc : (d + 1) * s_loc],
+            bias=None,
+        )
+        x_loc = x[:, d * (k_in // D) : (d + 1) * (k_in // D)]
+        acc += np.asarray(q_loc(jnp.asarray(x_loc), interpret=True))
+    np.testing.assert_allclose(acc, full, rtol=1e-5, atol=1e-5)
+
+
+def test_pairk_checkpoint_roundtrip(tmp_path, rng):
+    from torch_bnb_fp4_tpu.convert import load_checkpoint, save_checkpoint
+    from torch_bnb_fp4_tpu.models import KVCache, ModelConfig, forward, quantize_params
+    from torch_bnb_fp4_tpu.models import transformer as T
+
+    cfg = ModelConfig.tiny_test(n_layers=1)
+    params = quantize_params(cfg, T.random_weights(cfg, seed=2))
+    assert params.layers[0].wq.layout == "pairk"
+    save_checkpoint(str(tmp_path / "c"), cfg, params)
+    cfg2, params2 = load_checkpoint(str(tmp_path / "c"), tp=4)
+    assert params2.layers[0].wo.layout == "pairk"
+    tokens = jnp.asarray([[1, 2]], jnp.int32)
+    l1, _ = forward(params, cfg, tokens, KVCache.zeros(cfg, 1, 2))
+    l2, _ = forward(params2, cfg2, tokens, KVCache.zeros(cfg2, 1, 2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_fast_pairk_pack_bit_identical(rng):
+    from torch_bnb_fp4_tpu.convert import quantize_pack_pairk
+
+    w = (rng.standard_normal((96, 1024)) * 0.2).astype(np.float32)
+    g_packed, g_scale = fmt.pack_tpu_pairk(w)
+    f_packed, f_scale = quantize_pack_pairk(w)
+    np.testing.assert_array_equal(g_packed, f_packed)
+    np.testing.assert_array_equal(g_scale, f_scale)

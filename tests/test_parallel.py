@@ -109,13 +109,14 @@ def test_tp_decode_steps_match_single_device(weights):
 
 
 def test_row_parallel_shard_is_contiguous(weights):
-    """The whole point of pack_tpu_sharded: every leaf of a row-parallel layer
-    shards as a contiguous NamedSharding with no resharding at dispatch."""
+    """Every leaf of a row-parallel layer shards as a contiguous
+    NamedSharding with no resharding at dispatch (the pairk layout needs no
+    repacking at all; splitk achieves it via pack_tpu_sharded)."""
     n_model = 4
     mesh = make_mesh(n_model=n_model)
     params_tp = shard_params(quantize_params_tp(CFG, weights, tp=n_model), mesh)
     wo = params_tp.layers[0].wo
-    assert wo.k_shards == n_model
+    assert wo.layout == "pairk" and wo.k_shards == 1
     shard_shapes = {s.data.shape for s in wo.packed.addressable_shards}
     kp, n = wo.packed.shape
     assert shard_shapes == {(kp // n_model, n)}

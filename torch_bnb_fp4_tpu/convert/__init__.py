@@ -1,6 +1,6 @@
 from .checkpoint import load_checkpoint, save_checkpoint
 from .hf import config_from_hf, convert_hf_model, iter_hf_tensors, quantize_hf_weights
-from .quantize import quantize_pack_sharded, repack_k_shards
+from .quantize import quantize_pack_pairk, quantize_pack_sharded, repack_k_shards
 
 __all__ = [
     "save_checkpoint",
@@ -10,5 +10,6 @@ __all__ = [
     "iter_hf_tensors",
     "quantize_hf_weights",
     "quantize_pack_sharded",
+    "quantize_pack_pairk",
     "repack_k_shards",
 ]

@@ -57,15 +57,18 @@ def _ql_to_arrays(prefix: str, q: QuantLinear, store: dict) -> dict:
         if v is not None:
             store[f"{prefix}.{f}"] = np.asarray(v)
     return dict(kind="quant", n_out=q.n_out, k_in=q.k_in, blocksize=q.blocksize,
-                k_shards=q.k_shards, codebook=None if q.codebook is None else np.asarray(q.codebook).tolist())
+                layout=q.layout, k_shards=q.k_shards,
+                codebook=None if q.codebook is None else np.asarray(q.codebook).tolist())
 
 
 def _ql_from_arrays(prefix: str, meta: dict, arrays: dict, tp: int) -> QuantLinear:
     packed = arrays[f"{prefix}.packed"]
     hi = arrays[f"{prefix}.absmax_hi"]
-    lo = arrays[f"{prefix}.absmax_lo"]
+    lo = arrays.get(f"{prefix}.absmax_lo")
+    layout = meta.get("layout", "splitk")
     k_shards = meta["k_shards"]
-    if meta.get("row_parallel") and tp != k_shards:
+    if layout == "splitk" and meta.get("row_parallel") and tp != k_shards:
+        # pairk shards contiguously and never needs this
         packed, hi, lo = repack_k_shards(packed, hi, lo, meta["blocksize"], k_shards, tp)
         k_shards = tp
     bias = arrays.get(f"{prefix}.bias")
@@ -73,11 +76,12 @@ def _ql_from_arrays(prefix: str, meta: dict, arrays: dict, tp: int) -> QuantLine
     return QuantLinear(
         packed=jnp.asarray(packed),
         absmax_hi=jnp.asarray(hi),
-        absmax_lo=jnp.asarray(lo),
+        absmax_lo=None if lo is None else jnp.asarray(lo),
         bias=None if bias is None else jnp.asarray(bias),
         n_out=meta["n_out"],
         k_in=meta["k_in"],
         blocksize=meta["blocksize"],
+        layout=layout,
         k_shards=k_shards,
         codebook=None if cb is None else jnp.asarray(np.asarray(cb, np.float32)),
     )

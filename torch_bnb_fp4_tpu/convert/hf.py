@@ -21,7 +21,7 @@ from ..models.linear import QuantLinear, dense_linear
 from ..models.transformer import LayerParams, ModelConfig, ModelParams
 from ..ops import format as fmt
 from .checkpoint import save_checkpoint
-from .quantize import quantize_pack_sharded
+from .quantize import quantize_pack_pairk, quantize_pack_sharded
 
 _LINEAR_SUFFIXES = (
     "self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
@@ -87,22 +87,30 @@ def quantize_hf_weights(
 
     code = fmt.FP4_CODE if quant_type == "fp4" else fmt.NF4_CODE
 
+    layout = "pairk" if quant_type == "fp4" else "splitk"
+
     def ql(name: str) -> QuantLinear:
         w = _to_f32(tensors[name + ".weight"])
         n_out, k_in = w.shape
-        kq = max(1024, 2 * cfg.blocksize)
+        kq = 8 * cfg.blocksize if layout == "pairk" else max(1024, 2 * cfg.blocksize)
         k_pad = (k_in + kq - 1) // kq * kq
         n_pad = (n_out + 127) // 128 * 128
         if (k_pad, n_pad) != (k_in, n_out):
             wp = np.zeros((n_pad, k_pad), np.float32)
             wp[:n_out, :k_in] = w
             w = wp
-        packed, hi, lo = quantize_pack_sharded(w, blocksize=cfg.blocksize, code=code)
+        if layout == "pairk":
+            packed, hi = quantize_pack_pairk(w, blocksize=cfg.blocksize)
+            lo = None
+        else:
+            packed, hi, lo = quantize_pack_sharded(w, blocksize=cfg.blocksize, code=code)
         bias = tensors.get(name + ".bias")
         return QuantLinear(
-            packed=jnp.asarray(packed), absmax_hi=jnp.asarray(hi), absmax_lo=jnp.asarray(lo),
+            packed=jnp.asarray(packed), absmax_hi=jnp.asarray(hi),
+            absmax_lo=None if lo is None else jnp.asarray(lo),
             bias=None if bias is None else jnp.asarray(_to_f32(bias)),
-            n_out=n_out, k_in=k_in, blocksize=cfg.blocksize, k_shards=1,
+            n_out=n_out, k_in=k_in, blocksize=cfg.blocksize, layout=layout,
+            k_shards=1,
             codebook=None if quant_type == "fp4" else jnp.asarray(code),
         )
 

@@ -72,6 +72,30 @@ def quantize_pack_sharded(
     return packed, hi, lo
 
 
+def quantize_pack_pairk(w: np.ndarray, blocksize: int = 64):
+    """Fast bit-identical equivalent of ``fmt.pack_tpu_pairk`` (torch ops).
+
+    Returns (packed uint8 (K/2, N) rank-remapped pair-K bytes,
+    scale f32 (K/bs, N) = absmax/192)."""
+    import torch
+
+    w = np.ascontiguousarray(w, dtype=np.float32)
+    n_out, k_in = w.shape
+    if k_in % (2 * blocksize) != 0:
+        raise ValueError(f"K={k_in} not divisible by 2*blocksize")
+    t = torch.from_numpy(w)
+    blocks = t.view(n_out, k_in // blocksize, blocksize)
+    absmax = blocks.abs().amax(dim=2)
+    safe = torch.where(absmax == 0, torch.ones_like(absmax), absmax)
+    normed = blocks / safe.unsqueeze(2)
+    codes = _nearest_codes_torch(normed.reshape(n_out, k_in), fmt.FP4_CODE)
+    codes = torch.from_numpy(fmt.RANK_REMAP)[codes.long()]
+    ct = codes.T.contiguous()  # (K, N)
+    packed = ((ct[1::2] << 4) | ct[0::2]).numpy().astype(np.uint8)
+    scale = (absmax.T.contiguous().numpy() / fmt.PAIRK_VALUE_SCALE).astype(np.float32)
+    return packed, scale
+
+
 def repack_k_shards(
     packed: np.ndarray,
     absmax_hi: np.ndarray,

@@ -48,13 +48,18 @@ class QuantLinear:
     """
 
     packed: jax.Array  # uint8 (k_pad // 2, n_pad)
-    absmax_hi: jax.Array  # f32 (k_pad // (2*blocksize), n_pad) — hi-nibble scales
-    absmax_lo: jax.Array  # f32 (k_pad // (2*blocksize), n_pad) — lo-nibble scales
+    # layout "pairk": absmax_hi holds the (k_pad//blocksize, n_pad) f32 scale
+    # (= absmax/192) and absmax_lo is None.  layout "splitk": hi/lo nibble-
+    # plane scales, each (k_pad // (2*blocksize), n_pad) f32.
+    absmax_hi: jax.Array
+    absmax_lo: jax.Array | None
     bias: jax.Array | None  # (n_out,) or None
     n_out: int = dataclasses.field(metadata=dict(static=True))
     k_in: int = dataclasses.field(metadata=dict(static=True))
     blocksize: int = dataclasses.field(default=64, metadata=dict(static=True))
-    # number of self-contained K-slices in the packing (row-parallel TP width)
+    # "pairk" (FP4 hot path, shards contiguously in both dims) or "splitk"
+    layout: str = dataclasses.field(default="pairk", metadata=dict(static=True))
+    # number of self-contained K-slices in a splitk packing (row-parallel TP)
     k_shards: int = dataclasses.field(default=1, metadata=dict(static=True))
     # None -> exact arithmetic FP4 decode; else a (16,) table (e.g. NF4)
     codebook: jax.Array | None = None
@@ -111,21 +116,32 @@ def quantize_linear(
     *,
     blocksize: int = 64,
     quant_type: str = "fp4",
+    layout: str | None = None,
     k_shards: int = 1,
 ) -> QuantLinear:
     """Quantize a weight matrix (n_out, k_in) into a QuantLinear.
 
     In-process equivalent of the reference's swap path
     (swap_linear_with_bnb_linear + TorchFP4Linear.from_linear,
-    __init__.py:695-747).  ``quant_type``: "fp4" or "nf4"; ``k_shards``: slice
-    K into this many self-contained packings (row-parallel TP width).
+    __init__.py:695-747).  ``quant_type``: "fp4" or "nf4".  ``layout``:
+    defaults to "pairk" for fp4 (the fast path; shards contiguously in both
+    dims), "splitk" for nf4 (codebook as data).  ``k_shards``: splitk-only
+    row-parallel pre-slicing.
     """
     w = np.asarray(w, dtype=np.float32)
     n_out, k_in = w.shape
+    if layout is None:
+        layout = "pairk" if quant_type == "fp4" and k_shards == 1 else "splitk"
+    assert layout in ("pairk", "splitk")
+    if layout == "pairk":
+        assert quant_type == "fp4", "pairk layout is FP4-only (use splitk for nf4)"
+        assert k_shards == 1, "pairk shards contiguously; k_shards not needed"
     code = fmt.FP4_CODE if quant_type == "fp4" else fmt.NF4_CODE
     # pad K per shard to the kernel quantum when unsharded; sharded layers are
     # required to be pre-aligned (real model dims are) so shards stay equal
-    if k_shards == 1:
+    if layout == "pairk":
+        k_pad = _round_up(k_in, 8 * blocksize)
+    elif k_shards == 1:
         k_pad = _round_up(k_in, max(K.K_QUANTUM, 2 * blocksize))
     else:
         k_pad = _round_up(k_in, k_shards * 2 * blocksize)
@@ -135,17 +151,23 @@ def quantize_linear(
         wp[:n_out, :k_in] = w
     else:
         wp = w
-    packed, absmax_hi, absmax_lo = fmt.pack_tpu_sharded(
-        wp, blocksize=blocksize, code=code, k_shards=k_shards
-    )
+    if layout == "pairk":
+        packed, scale = fmt.pack_tpu_pairk(wp, blocksize=blocksize)
+        absmax_hi, absmax_lo = scale, None
+    else:
+        packed, absmax_hi, absmax_lo = fmt.pack_tpu_sharded(
+            wp, blocksize=blocksize, code=code, k_shards=k_shards
+        )
+        absmax_lo = jnp.asarray(absmax_lo)
     return QuantLinear(
         packed=jnp.asarray(packed),
         absmax_hi=jnp.asarray(absmax_hi),
-        absmax_lo=jnp.asarray(absmax_lo),
+        absmax_lo=absmax_lo,
         bias=None if bias is None else jnp.asarray(bias),
         n_out=n_out,
         k_in=k_in,
         blocksize=blocksize,
+        layout=layout,
         k_shards=k_shards,
         codebook=None if quant_type == "fp4" else jnp.asarray(code),
     )
@@ -160,7 +182,12 @@ def local_view(q: QuantLinear, *, n_parts: int = 1, k_parts: int = 1) -> QuantLi
     local packing is then ``k_shards // k_parts`` self-contained slices).
     """
     assert q.n_out % n_parts == 0, (q.n_out, n_parts)
-    assert q.k_in % k_parts == 0 and q.k_shards % k_parts == 0, (q.k_in, q.k_shards, k_parts)
+    assert q.k_in % k_parts == 0, (q.k_in, k_parts)
+    if q.layout == "pairk":
+        # pairk slices contiguously: only the static K changes
+        assert (q.k_in // k_parts) % (2 * q.blocksize) == 0
+        return dataclasses.replace(q, n_out=q.n_out // n_parts, k_in=q.k_in // k_parts)
+    assert q.k_shards % k_parts == 0, (q.k_shards, k_parts)
     return dataclasses.replace(
         q,
         n_out=q.n_out // n_parts,
@@ -202,30 +229,42 @@ def apply_linear(q: QuantLinear, x: jax.Array, *, block_m: int = 256, out_dtype=
     x2 = x.reshape(m, k)
     if k != q.k_pad:
         x2 = jnp.pad(x2, ((0, 0), (0, q.k_pad - k)))
-    if q.k_shards > 1:
-        x2 = _shard_reorder_x(x2, q.k_shards)
     bias = None
     if q.bias is not None:
         bias = q.bias
         if q.n_pad != q.n_out:
             bias = jnp.pad(bias, (0, q.n_pad - q.n_out))
-    if m == 1:
-        out = K.gemv_fp4(
-            x2, q.packed, _absmax(q), bias, q.codebook, blocksize=q.blocksize,
-            out_dtype=out_dtype, interpret=interpret
-        )
+    if q.layout == "pairk":
+        if m == 1:
+            out = K.gemv_fp4_pk(
+                x2, q.packed, q.absmax_hi, bias, blocksize=q.blocksize,
+                out_dtype=out_dtype, interpret=interpret,
+            )
+        else:
+            out = K.matmul_fp4_pk(
+                x2, q.packed, q.absmax_hi, bias, blocksize=q.blocksize,
+                block_m=block_m, out_dtype=out_dtype, interpret=interpret,
+            )
     else:
-        out = K.matmul_fp4(
-            x2,
-            q.packed,
-            _absmax(q),
-            bias,
-            q.codebook,
-            blocksize=q.blocksize,
-            block_m=block_m,
-            out_dtype=out_dtype,
-            interpret=interpret,
-        )
+        if q.k_shards > 1:
+            x2 = _shard_reorder_x(x2, q.k_shards)
+        if m == 1:
+            out = K.gemv_fp4(
+                x2, q.packed, _absmax(q), bias, q.codebook, blocksize=q.blocksize,
+                out_dtype=out_dtype, interpret=interpret
+            )
+        else:
+            out = K.matmul_fp4(
+                x2,
+                q.packed,
+                _absmax(q),
+                bias,
+                q.codebook,
+                blocksize=q.blocksize,
+                block_m=block_m,
+                out_dtype=out_dtype,
+                interpret=interpret,
+            )
     if q.n_pad != q.n_out:
         out = out[:, : q.n_out]
     return out.reshape(*lead, q.n_out)
@@ -234,6 +273,12 @@ def apply_linear(q: QuantLinear, x: jax.Array, *, block_m: int = 256, out_dtype=
 def dequantize_weight(q: QuantLinear, out_dtype=jnp.bfloat16, interpret: bool | None = None) -> jax.Array:
     """Materialize W (n_out, k_in) — reference dequantize_fp4 parity
     (__init__.py:88-123); used for lm_head-style fallbacks and tests."""
+    if q.layout == "pairk":
+        wt = K.dequantize_tpu_pk(
+            q.packed, q.absmax_hi, blocksize=q.blocksize,
+            out_dtype=out_dtype, interpret=interpret,
+        )
+        return wt[: q.k_in, : q.n_out].T
     D = q.k_shards
     kp = q.packed.shape[0]
     wt = K.dequantize_tpu(

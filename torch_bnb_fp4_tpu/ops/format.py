@@ -265,6 +265,69 @@ def unpack_tpu_sharded(packed: np.ndarray, absmax_hi: np.ndarray, absmax_lo: np.
     return np.concatenate(parts, axis=0)
 
 
+# ---------------------------------------------------------------------------
+# Pair-K layout ("pairk"): the serving hot-path layout for FP4.
+# ---------------------------------------------------------------------------
+
+# Rank remap: the six regular FP4 magnitudes sorted ascending are
+# m = 6,7,4,5,2,3 — flip bit 2 of m iff bit 1 is set (involution; m<2 and the
+# sign bit pass through).  With rank-remapped nibbles, the bf16 bit pattern of
+# 192*|code| is the LINEAR RAMP 0x4180 + rank*0x40, which the Pallas kernel
+# assembles with pure integer ops (ops/kernels.py:_decode_pairs).
+_R = np.arange(16)
+RANK_REMAP = ((_R & 8) | ((_R & 7) ^ ((_R & 2) << 1))).astype(np.uint8)
+del _R
+
+# 192 * FP4_CODE is exactly {0, +-1, +-32, +-48, +-64, +-96, +-128, +-192}:
+# small integers, exact in bf16 — so the kernel can contract x with the
+# INTEGER code values on the MXU and apply absmax/192 per block afterwards.
+PAIRK_VALUE_SCALE = 192.0
+
+
+def pack_tpu_pairk(w: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE):
+    """Quantize + pack a weight matrix (N_out, K_in) into the pair-K layout.
+
+    Layout (FP4 only; NF4 keeps the split-K layout):
+      * ``packed`` uint8 (K/2, N): byte (i, n) holds the RANK-REMAPPED codes
+        of Wt[2i+1, n] (high nibble) and Wt[2i, n] (low nibble) — K-adjacent
+        weights pair in one byte, so ``pltpu.bitcast(i32 -> bf16)`` lands the
+        decoded pair K-contiguous (low 16 bits -> row 2i).
+      * ``scale`` f32 (K/blocksize, N) = absmax / 192 (the kernel contracts
+        integer code values, see PAIRK_VALUE_SCALE).
+      * shards contiguously in BOTH dims with no re-pairing: row-parallel TP
+        slices dim 0 of packed+scale, column-parallel slices dim 1.
+
+    Same absmax grid (bnb-identical blocks along K) as pack_tpu.
+    """
+    w = np.asarray(w, dtype=np.float32)
+    n_out, k_in = w.shape
+    if k_in % (2 * blocksize) != 0:
+        raise ValueError(f"K={k_in} must be divisible by 2*blocksize={2 * blocksize}")
+    codes, absmax = quantize_codes(w, blocksize, FP4_CODE)
+    codes = RANK_REMAP[codes]
+    ct = codes.reshape(n_out, k_in).T  # (K, N)
+    packed = ((ct[1::2].astype(np.uint8) << 4) | ct[0::2]).astype(np.uint8)
+    scale = (absmax.reshape(n_out, k_in // blocksize).T / PAIRK_VALUE_SCALE).astype(np.float32)
+    return np.ascontiguousarray(packed), np.ascontiguousarray(scale)
+
+
+def unpack_tpu_pairk(packed: np.ndarray, scale: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE) -> np.ndarray:
+    """Golden dequantize of the pair-K layout -> Wt float32 (K, N).
+
+    Spec: value = (192 * FP4_CODE[RANK_REMAP[nibble]]) * scale, with the
+    integer code value exact in f32/bf16.  (Equals code * absmax up to one
+    f32 rounding of absmax/192 — within the bnb error envelope.)
+    """
+    kp, n = packed.shape
+    k = 2 * kp
+    ct = np.empty((k, n), dtype=np.uint8)
+    ct[0::2] = packed & 0xF
+    ct[1::2] = packed >> 4
+    ivals = (PAIRK_VALUE_SCALE * FP4_CODE)[RANK_REMAP[ct]]  # exact ints
+    scales = np.repeat(scale.astype(np.float32), blocksize, axis=0)
+    return (ivals * scales).astype(np.float32)
+
+
 def tpu_layout_from_bnb(packed_flat: np.ndarray, absmax_flat: np.ndarray, shape, blocksize: int = DEFAULT_BLOCKSIZE):
     """Convert bnb flat packing (packed (numel//2,), absmax (numel//bs,)) for a
     weight of ``shape`` (N_out, K_in) into the TPU layout — exact, no requant."""

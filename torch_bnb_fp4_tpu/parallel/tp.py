@@ -83,10 +83,16 @@ def validate_tp(cfg: T.ModelConfig, tp: int) -> None:
 
 
 def quantize_params_tp(cfg: T.ModelConfig, weights: dict, tp: int) -> T.ModelParams:
-    """Like models.quantize_params but row-parallel layers (wo, w_down) are
-    packed with ``k_shards=tp`` so their K axis shards contiguously."""
+    """models.quantize_params, arranged for a model-axis width of ``tp``.
+
+    The pairk layout (FP4 default) shards contiguously in both dims, so the
+    plain packing already works — only the geometry is validated.  splitk
+    (NF4) row-parallel layers (wo, w_down) are re-packed with ``k_shards=tp``
+    so their K axis shards contiguously."""
     validate_tp(cfg, tp)
     params = T.quantize_params(cfg, weights)
+    if params.layers[0].wo.layout == "pairk":
+        return params
 
     def requant(name_suffix: str, i: int) -> QuantLinear:
         w = weights[f"model.layers.{i}.{name_suffix}.weight"]

@@ -17,15 +17,19 @@ from ..models.linear import DenseLinear, QuantLinear
 from ..models.transformer import KVCache, LayerParams, ModelConfig, ModelParams
 
 
-def synth_quant_linear(key, n_out: int, k_in: int, *, blocksize: int = 64, k_shards: int = 1, absmax_scale: float = 0.01) -> QuantLinear:
+def synth_quant_linear(key, n_out: int, k_in: int, *, blocksize: int = 64, layout: str = "pairk", k_shards: int = 1, absmax_scale: float = 0.01) -> QuantLinear:
     """Random QuantLinear with plausible absmax magnitudes, built on device."""
     assert k_in % (2 * blocksize) == 0 and n_out % 128 == 0, (n_out, k_in)
     kp = k_in // 2
-    rows = kp // blocksize
     k1, k2, k3 = jax.random.split(key, 3)
     packed = jax.random.randint(k1, (kp, n_out), 0, 256, dtype=jnp.int32).astype(jnp.uint8)
-    absmax_hi = jax.random.uniform(k2, (rows, n_out), jnp.float32, 0.5, 1.5) * absmax_scale
-    absmax_lo = jax.random.uniform(k3, (rows, n_out), jnp.float32, 0.5, 1.5) * absmax_scale
+    if layout == "pairk":
+        scale = jax.random.uniform(k2, (k_in // blocksize, n_out), jnp.float32, 0.5, 1.5) * (absmax_scale / 192.0)
+        absmax_hi, absmax_lo = scale, None
+    else:
+        rows = kp // blocksize
+        absmax_hi = jax.random.uniform(k2, (rows, n_out), jnp.float32, 0.5, 1.5) * absmax_scale
+        absmax_lo = jax.random.uniform(k3, (rows, n_out), jnp.float32, 0.5, 1.5) * absmax_scale
     return QuantLinear(
         packed=packed,
         absmax_hi=absmax_hi,
@@ -34,6 +38,7 @@ def synth_quant_linear(key, n_out: int, k_in: int, *, blocksize: int = 64, k_sha
         n_out=n_out,
         k_in=k_in,
         blocksize=blocksize,
+        layout=layout,
         k_shards=k_shards,
     )
 
@@ -43,14 +48,17 @@ def synth_dense_linear(key, n_out: int, k_in: int, *, scale: float = 0.01, dtype
     return DenseLinear(w=w, bias=None, n_out=n_out, k_in=k_in)
 
 
-def synth_params(cfg: ModelConfig, *, quantized: bool = True, seed: int = 0, tp: int = 1) -> ModelParams:
+def synth_params(cfg: ModelConfig, *, quantized: bool = True, seed: int = 0, tp: int = 1, layout: str = "pairk") -> ModelParams:
     """Random ModelParams — quantized (FP4) or dense bf16 — built on device."""
     key = jax.random.PRNGKey(seed)
     kv_dim = cfg.n_kv_heads * cfg.head_dim
 
     def lin(key, n_out, k_in, k_shards=1):
         if quantized:
-            return synth_quant_linear(key, n_out, k_in, blocksize=cfg.blocksize, k_shards=k_shards)
+            return synth_quant_linear(
+                key, n_out, k_in, blocksize=cfg.blocksize, layout=layout,
+                k_shards=k_shards if layout == "splitk" else 1,
+            )
         return synth_dense_linear(key, n_out, k_in)
 
     keys = jax.random.split(key, cfg.n_layers + 2)
