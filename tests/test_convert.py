@@ -85,6 +85,41 @@ def test_checkpoint_load_with_tp_repack(tmp_path):
     assert params_tp.layers[0].wo.layout == direct.layers[0].wo.layout
 
 
+@pytest.mark.parametrize("quant_type,layout", [("fp4", "pairk"), ("fp4", "splitk"), ("nf4", "splitk")])
+def test_from_bnb_state_exact(rng, quant_type, layout):
+    """bnb flat state converts EXACTLY (same codes, same absmax grid)."""
+    from torch_bnb_fp4_tpu.convert import from_bnb_state
+    from torch_bnb_fp4_tpu.models import dequantize_weight
+
+    code = fmt.FP4_CODE if quant_type == "fp4" else fmt.NF4_CODE
+    n_out, k_in = 96, 1024
+    w = (rng.standard_normal((n_out, k_in)) * 0.1).astype(np.float32)
+    packed_flat, absmax_flat = fmt.quantize_fp4(w, code=code)  # bnb-style
+    q = from_bnb_state(packed_flat, absmax_flat, (n_out, k_in), quant_type=quant_type, layout=layout)
+    assert q.layout == layout
+    got = np.asarray(dequantize_weight(q, out_dtype=jnp.float32, interpret=True))
+    want = fmt.dequantize_fp4(packed_flat, absmax_flat, (n_out, k_in), code=code)
+    if layout == "pairk":
+        # scale folds absmax/192: one f32 rounding vs bnb's code*absmax
+        np.testing.assert_allclose(got, want, rtol=3e-7, atol=1e-12)
+    else:
+        np.testing.assert_array_equal(got, want)
+
+
+def test_from_bnb_state_odd_n(rng):
+    """N not 128-aligned pads; K padding codes dequantize to 0."""
+    from torch_bnb_fp4_tpu.convert import from_bnb_state
+    from torch_bnb_fp4_tpu.models import dequantize_weight
+
+    n_out, k_in = 70, 320
+    w = (rng.standard_normal((n_out, k_in)) * 0.1).astype(np.float32)
+    packed_flat, absmax_flat = fmt.quantize_fp4(w)
+    q = from_bnb_state(packed_flat, absmax_flat, (n_out, k_in))
+    got = np.asarray(dequantize_weight(q, out_dtype=jnp.float32, interpret=True))
+    want = fmt.dequantize_fp4(packed_flat, absmax_flat, (n_out, k_in))
+    np.testing.assert_allclose(got, want, rtol=3e-7, atol=1e-12)
+
+
 def _write_hf_checkpoint(path, cfg, weights):
     """Synthesize an HF-style model dir (config.json + one safetensors)."""
     from safetensors.numpy import save_file

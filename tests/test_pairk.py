@@ -66,6 +66,22 @@ def test_matmul_pk_matches_golden(rng, m, dtype):
     np.testing.assert_allclose(np.asarray(out, np.float32), golden, rtol=2e-2, atol=2e-3)
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_matmul_pk_m_inner_path(rng, dtype):
+    """Several M blocks -> the decode-once m-innermost kernel; must match the
+    m-outer path exactly (same dots, same order per block)."""
+    n_out, k_in, m = 256, 1024, 64
+    w = (rng.standard_normal((n_out, k_in)) * 0.05).astype(np.float32)
+    packed, scale = fmt.pack_tpu_pairk(w)
+    x = jnp.asarray(rng.standard_normal((m, k_in)) * 0.5, dtype)
+    y_inner = K.matmul_fp4_pk(x, jnp.asarray(packed), jnp.asarray(scale), block_m=16, interpret=True)
+    golden = np.asarray(x, np.float32) @ fmt.unpack_tpu_pairk(packed, scale)
+    # m-inner pre-scales w (one extra rounding in compute dtype) vs the
+    # m-outer integer-dot + partial-scale structure; near-zero outputs see
+    # the bf16 w-rounding as absolute noise
+    np.testing.assert_allclose(np.asarray(y_inner, np.float32), golden, rtol=2e-2, atol=1e-2)
+
+
 def test_matmul_pk_bias(rng):
     n_out, k_in = 128, 512
     w = (rng.standard_normal((n_out, k_in)) * 0.05).astype(np.float32)

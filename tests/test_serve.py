@@ -60,6 +60,21 @@ def test_eos_stops_early(params):
     assert res[7].tokens == expected
 
 
+def test_temperature_sampling_valid_and_seeded(params):
+    """Sampled generation is deterministic per seed and differs across seeds
+    (for a near-uniform random model)."""
+    reqs = lambda: [Request(uid=1, prompt=[3, 4, 5], max_new_tokens=8)]
+    out_a = Engine(params, CFG, EngineConfig(max_batch=1, max_len=32, temperature=1.0, seed=1)).run(reqs())
+    out_b = Engine(params, CFG, EngineConfig(max_batch=1, max_len=32, temperature=1.0, seed=1)).run(reqs())
+    out_c = Engine(params, CFG, EngineConfig(max_batch=1, max_len=32, temperature=1.0, seed=2)).run(reqs())
+    assert out_a[1].tokens == out_b[1].tokens
+    assert out_a[1].tokens != out_c[1].tokens
+    assert all(0 <= t < CFG.vocab_size for t in out_a[1].tokens)
+    # top-k restricts candidates but still returns valid tokens
+    out_k = Engine(params, CFG, EngineConfig(max_batch=1, max_len=32, temperature=1.0, top_k=2, seed=3)).run(reqs())
+    assert len(out_k[1].tokens) == 8
+
+
 def test_prompt_too_long_rejected(params):
     eng = Engine(params, CFG, EngineConfig(max_batch=1, max_len=8))
     with pytest.raises(ValueError):

@@ -250,6 +250,7 @@ def forward(
     tokens: jax.Array,  # (B, L) i32
     cache: KVCache,
     positions: jax.Array | None = None,  # (B, L); default arange from cache.length
+    last_only: bool = False,  # lm_head only on the final position (prefill)
 ) -> tuple[jax.Array, KVCache]:
     """Run L tokens through the model, appending to the cache.
 
@@ -275,6 +276,8 @@ def forward(
         ks.append(kc)
         vs.append(vc)
     x = rms_norm(x, params.final_norm, cfg.rms_eps)
+    if last_only:
+        x = x[:, -1:]
     if isinstance(params.lm_head, (QuantLinear, DenseLinear)):
         logits = params.lm_head(x, out_dtype=jnp.float32)
     else:
@@ -284,8 +287,11 @@ def forward(
 
 @partial(jax.jit, static_argnames=("cfg",))
 def prefill(params: ModelParams, cfg: ModelConfig, tokens: jax.Array, cache: KVCache):
-    """Prefill: run the prompt, return (last-position logits (B, vocab), cache)."""
-    logits, cache = forward(params, cfg, tokens, cache)
+    """Prefill: run the prompt, return (last-position logits (B, vocab), cache).
+    The lm_head runs only on the final position (the reference computes full
+    logits for the whole prompt via HF generate; at 32k vocab that's L x the
+    needed work)."""
+    logits, cache = forward(params, cfg, tokens, cache, last_only=True)
     return logits[:, -1], cache
 
 

@@ -530,6 +530,42 @@ def _matmul_pk_kernel(x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, *, blocks
         out_ref[:] = res.astype(out_dtype)
 
 
+def _matmul_pk_minner_kernel(x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, w_ref, *, blocksize, nk, out_dtype, compute_dtype, has_bias, block_m):
+    """m-INNERMOST variant (grid (n, k, m)): each weight tile is decoded ONCE
+    into scratch and reused for every M block — decode cost is one weight
+    pass regardless of M (the GEMM/prefill path; the reference's qlinear
+    dequant-to-temp amortizes the same way but round-trips HBM,
+    torch_fp4.cpp:64-82)."""
+    kk, mi = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(mi == 0)
+    def _():
+        w = _pairs_weight_tile(p_ref, jnp.float32)
+        # pre-scale ONCE per weight tile (amortized over all M blocks): the
+        # dots then run at full block_k depth, keeping the MXU pipeline full
+        # (64-deep per-quant-block dots cap it at ~50%)
+        s = jnp.repeat(s_ref[:], blocksize, axis=0)
+        w_ref[:] = (w * s).astype(w_ref.dtype)
+
+    row = pl.ds(mi * block_m, block_m)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[row, :] = jnp.zeros((block_m, acc_ref.shape[1]), jnp.float32)
+
+    prec = jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
+    acc_ref[row, :] += jnp.dot(
+        x_ref[:], w_ref[:], preferred_element_type=jnp.float32, precision=prec
+    )
+
+    @pl.when(kk == nk - 1)
+    def _():
+        res = acc_ref[row, :]
+        if has_bias:
+            res = res + bias_ref[:].astype(jnp.float32)
+        out_ref[:] = res.astype(out_dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("blocksize", "out_dtype", "block_m", "block_k", "block_n", "interpret"),
@@ -572,17 +608,48 @@ def matmul_fp4_pk(
     if mp != m:
         x = jnp.pad(x, ((0, mp - m), (0, 0)))
     nk = k // block_k
-    grid = (mp // block_m, n // block_n, nk)
+    nm = mp // block_m
 
     has_bias = bias is not None
     bias = jnp.zeros((1, n), jnp.float32) if bias is None else bias.reshape(1, n)
+    cost = pl.CostEstimate(
+        flops=2 * mp * k * n,
+        bytes_accessed=kp * n + (k // blocksize) * n * 4 + mp * k * x.dtype.itemsize,
+        transcendentals=0,
+    )
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        vmem_limit_bytes=100 * 2**20,
+    )
+    # m-innermost when several M blocks share the weights: decode once per
+    # weight tile.  Needs a full-M f32 accumulator stripe in VMEM.
+    if nm > 1 and mp * block_n * 4 <= 48 * 2**20:
+        kern = functools.partial(
+            _matmul_pk_minner_kernel,
+            blocksize=blocksize, nk=nk, out_dtype=out_dtype,
+            compute_dtype=compute_dtype, has_bias=has_bias, block_m=block_m,
+        )
+        out = pl.pallas_call(
+            kern,
+            grid=(n // block_n, nk, nm),
+            in_specs=[
+                pl.BlockSpec((block_m, block_k), lambda j, kk, mi: (mi, kk), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_k // 2, block_n), lambda j, kk, mi: (kk, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_k // blocksize, block_n), lambda j, kk, mi: (kk, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_n), lambda j, kk, mi: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_m, block_n), lambda j, kk, mi: (mi, j), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((mp, block_n), jnp.float32),
+                pltpu.VMEM((block_k, block_n), jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32),
+            ],
+            cost_estimate=cost,
+            compiler_params=cparams,
+            interpret=interpret,
+        )(x, packed, scale, bias)
+        return out[:m]
 
-    in_specs = [
-        pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_k // 2, block_n), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_k // blocksize, block_n), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
-    ]
     kern = functools.partial(
         _matmul_pk_kernel,
         blocksize=blocksize,
@@ -593,16 +660,17 @@ def matmul_fp4_pk(
     )
     out = pl.pallas_call(
         kern,
-        grid=grid,
-        in_specs=in_specs,
+        grid=(nm, n // block_n, nk),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k // 2, block_n), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k // blocksize, block_n), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * mp * k * n,
-            bytes_accessed=kp * n + (k // blocksize) * n * 4 + mp * k * x.dtype.itemsize,
-            transcendentals=0,
-        ),
+        cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 2**20,

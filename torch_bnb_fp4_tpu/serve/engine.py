@@ -55,6 +55,10 @@ class Completion:
 class EngineConfig:
     max_batch: int = 8  # decode slots
     max_len: int = 2048  # per-slot KV capacity
+    # sampling: temperature 0 = greedy; top_k limits candidates (0 = off)
+    temperature: float = 0.0
+    top_k: int = 0
+    seed: int = 0
 
 
 class Engine:
@@ -95,14 +99,29 @@ class Engine:
 
         self._decode = jax.jit(self._decode_fn)
         self._prefill = jax.jit(self._prefill_fn)
+        self._key = jax.random.PRNGKey(ecfg.seed)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
 
     # -- jitted programs ---------------------------------------------------
 
-    def _decode_fn(self, params, tokens, cache):
-        logits, cache = self._fwd(params, tokens[:, None], cache)
-        return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+    def _select(self, logits, key):
+        """Greedy or temperature/top-k sampling over (B, V) logits."""
+        if self.ecfg.temperature <= 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        logits = logits / self.ecfg.temperature
+        if self.ecfg.top_k > 0:
+            kth = jax.lax.top_k(logits, self.ecfg.top_k)[0][:, -1:]
+            logits = jnp.where(logits < kth, -jnp.inf, logits)
+        return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
-    def _prefill_fn(self, params, tokens, cache, slot, true_len):
+    def _decode_fn(self, params, tokens, cache, key):
+        logits, cache = self._fwd(params, tokens[:, None], cache)
+        return self._select(logits[:, -1], key), cache
+
+    def _prefill_fn(self, params, tokens, cache, slot, true_len, key):
         """Run batch-1 prefill (length-bucketed padding) and splice its KV
         rows into ``slot``.  ``tokens`` (1, Lp_pad); rows past ``true_len``
         are garbage but masked forever by kv_valid (< length)."""
@@ -115,7 +134,7 @@ class Engine:
             vs.append(jax.lax.dynamic_update_slice(cache.v[i], small.v[i], (slot, 0, 0, 0)))
         length = cache.length.at[slot].set(true_len)
         last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1, axis=0, keepdims=False)
-        first = jnp.argmax(last, axis=-1).astype(jnp.int32)
+        first = self._select(last[None, :], key)[0]
         return first, T.KVCache(k=ks, v=vs, length=length)
 
     # -- host API ----------------------------------------------------------
@@ -139,7 +158,7 @@ class Engine:
             padded[0, :lp] = req.prompt
             first, self.cache = self._prefill(
                 self.params, jnp.asarray(padded), self.cache,
-                jnp.int32(slot), jnp.int32(lp),
+                jnp.int32(slot), jnp.int32(lp), self._next_key(),
             )
             self.slot_req[slot] = req
             self.slot_tokens[slot] = [int(first)]
@@ -176,7 +195,7 @@ class Engine:
             return 0
 
         tokens = jnp.asarray(self.slot_cur.astype(np.int32))
-        nxt, self.cache = self._decode(self.params, tokens, self.cache)
+        nxt, self.cache = self._decode(self.params, tokens, self.cache, self._next_key())
         nxt = np.asarray(nxt)
         for i in active:
             self.slot_tokens[i].append(int(nxt[i]))
