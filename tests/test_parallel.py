@@ -38,6 +38,18 @@ def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.parametrize("name,tps", [
+    ("mistral_7b", (2, 4, 8)),
+    ("tinyllama_1b", (2, 4)),
+    ("llama2_70b", (2, 4, 8)),  # BASELINE config 5 geometry
+])
+def test_model_zoo_geometries_shard(name, tps):
+    cfg = getattr(ModelConfig, name)()
+    for tp in tps:
+        validate_tp(cfg, tp)
+    assert cfg.dim == cfg.n_heads * cfg.head_dim
+
+
 @pytest.mark.parametrize("n_data,n_model", [(1, 4), (2, 4), (1, 2)])
 def test_tp_forward_matches_single_device(weights, n_data, n_model):
     validate_tp(CFG, n_model)

@@ -680,9 +680,10 @@ def matmul_fp4_pk(
     return out[:m]
 
 
-def gemv_fp4_pk(x, packed, scale, bias=None, *, blocksize=64, out_dtype=None, block_k=512, block_n=4096, interpret=None):
-    """Batch-1 pair-K decode fast path (v5e sweet spot: block_k 512, large N
-    blocks — 86us on 4096x14336, 1.81x the bf16 matvec)."""
+def gemv_fp4_pk(x, packed, scale, bias=None, *, blocksize=64, out_dtype=None, block_k=512, block_n=8192, interpret=None):
+    """Batch-1 pair-K decode fast path (v5e sweet spot: block_k 512, widest N
+    block that fits — 86us on 4096x14336 at bn=7168 vs 95us at 3584; 1.81x
+    the bf16 matvec)."""
     assert x.shape[0] == 1
     return matmul_fp4_pk(
         x, packed, scale, bias,
