@@ -70,7 +70,7 @@ def time_decode(params, cfg, steps: int, prompt_len: int = 32, batch: int = 1, r
     int(run(params, tok0, cache0, steps)[0])  # compile + warmup
     log(f"  decode compile+warmup {time.perf_counter()-t0:.1f}s")
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):  # best-of-5: the tunneled chip shows run-to-run noise
         t0 = time.perf_counter()
         int(run(params, tok0, cache0, steps)[0])
         best = min(best, time.perf_counter() - t0 - rtt)
@@ -96,9 +96,9 @@ def main():
     rtt = calibrate_rtt()
     log(f"backend={jax.default_backend()} rtt={rtt*1e3:.1f}ms model={args.model}")
 
-    log("building FP4 model (device-side synth)...")
+    log("building FP4 model (device-side synth, fused projections)...")
     t0 = time.perf_counter()
-    params = synth_params(cfg, quantized=True, seed=0)
+    params = synth_params(cfg, quantized=True, seed=0, fuse=True)
     jax.block_until_ready(params)
     log(f"  built in {time.perf_counter()-t0:.1f}s")
     fp4_step = time_decode(params, cfg, args.steps, args.prompt_len, rtt=rtt)

@@ -131,9 +131,10 @@ def save_checkpoint(path: str, cfg: ModelConfig, params: ModelParams) -> None:
         json.dump(manifest, f, indent=1)
 
 
-def load_checkpoint(path: str, tp: int = 1) -> tuple[ModelConfig, ModelParams]:
-    """Load a packed checkpoint; row-parallel layers are repacked for ``tp``
-    on the fly (exact — see repack_k_shards)."""
+def load_checkpoint(path: str, tp: int = 1, fuse: bool = False) -> tuple[ModelConfig, ModelParams]:
+    """Load a packed checkpoint; splitk row-parallel layers are repacked for
+    ``tp`` on the fly (exact); ``fuse=True`` fuses QKV and gate|up for the
+    requested ``tp`` (checkpoints always store unfused)."""
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
     assert manifest["format_version"] == FORMAT_VERSION
@@ -170,4 +171,9 @@ def load_checkpoint(path: str, tp: int = 1) -> tuple[ModelConfig, ModelParams]:
             n_out=w.shape[1],
             k_in=w.shape[0],
         )
-    return cfg, ModelParams(embed=embed, layers=layers, final_norm=final_norm, lm_head=lm_head)
+    params = ModelParams(embed=embed, layers=layers, final_norm=final_norm, lm_head=lm_head)
+    if fuse:
+        from ..models.transformer import fuse_params
+
+        params = fuse_params(params, tp=tp)
+    return cfg, params

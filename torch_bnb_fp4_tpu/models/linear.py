@@ -270,6 +270,53 @@ def apply_linear(q: QuantLinear, x: jax.Array, *, block_m: int = 256, out_dtype=
     return out.reshape(*lead, q.n_out)
 
 
+def fuse_linears(linears: list[QuantLinear], tp: int = 1) -> QuantLinear:
+    """Fuse same-input pairk linears into ONE kernel call (column concat).
+
+    One fused dequant-matmul replaces N launches over the same activations —
+    the QKV and gate/up projections in a decoder block.  With ``tp`` > 1 the
+    N columns are interleaved per shard ([q_d | k_d | v_d] for each device d)
+    so a plain contiguous column sharding gives every device exactly its
+    heads; the local output splits at the LOCAL sizes.
+    """
+    q0 = linears[0]
+    assert all(l.layout == "pairk" for l in linears), "fusion is pairk-only"
+    assert all(l.k_in == q0.k_in and l.k_pad == q0.k_pad and l.blocksize == q0.blocksize for l in linears)
+    assert all(l.n_out == l.n_pad for l in linears), "fused linears must be 128-aligned"
+    assert all(l.n_out % tp == 0 for l in linears)
+
+    def interleave(arrs, axis):
+        if tp == 1:
+            return jnp.concatenate(arrs, axis=axis)
+        parts = []
+        for d in range(tp):
+            for a in arrs:
+                n_loc = a.shape[axis] // tp
+                parts.append(jax.lax.slice_in_dim(a, d * n_loc, (d + 1) * n_loc, axis=axis))
+        return jnp.concatenate(parts, axis=axis)
+
+    packed = interleave([l.packed for l in linears], 1)
+    scale = interleave([l.absmax_hi for l in linears], 1)
+    biases = [l.bias for l in linears]
+    if any(b is not None for b in biases):
+        bias = interleave(
+            [b if b is not None else jnp.zeros((l.n_out,), jnp.float32) for b, l in zip(biases, linears)], 0
+        )
+    else:
+        bias = None
+    return QuantLinear(
+        packed=packed,
+        absmax_hi=scale,
+        absmax_lo=None,
+        bias=bias,
+        n_out=sum(l.n_out for l in linears),
+        k_in=q0.k_in,
+        blocksize=q0.blocksize,
+        layout="pairk",
+        k_shards=1,
+    )
+
+
 def dequantize_weight(q: QuantLinear, out_dtype=jnp.bfloat16, interpret: bool | None = None) -> jax.Array:
     """Materialize W (n_out, k_in) — reference dequantize_fp4 parity
     (__init__.py:88-123); used for lm_head-style fallbacks and tests."""

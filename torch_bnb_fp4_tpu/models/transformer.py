@@ -88,14 +88,18 @@ class ModelConfig:
 @dataclasses.dataclass(frozen=True)
 class LayerParams:
     attn_norm: jax.Array  # (dim,)
-    wq: QuantLinear
-    wk: QuantLinear
-    wv: QuantLinear
-    wo: QuantLinear
+    wq: Any  # QuantLinear/DenseLinear, or None when wqkv is fused
+    wk: Any
+    wv: Any
+    wo: Any
     mlp_norm: jax.Array  # (dim,)
-    w_gate: QuantLinear
-    w_up: QuantLinear
-    w_down: QuantLinear
+    w_gate: Any  # None when w_gateup is fused
+    w_up: Any
+    w_down: Any
+    # fused projections (models/linear.fuse_linears): one kernel launch for
+    # QKV and one for gate|up — the decode hot path default
+    wqkv: Any = None
+    w_gateup: Any = None
 
 
 @jax.tree_util.register_dataclass
@@ -200,8 +204,14 @@ def _layer_forward(
     block, inserted where XLA's latency-hiding scheduler can overlap them
     with the next fused dequant-matmul)."""
     b, l, _ = x.shape
-    n_heads = lp.wq.n_out // cfg.head_dim  # local under TP
-    n_kv = lp.wk.n_out // cfg.head_dim
+    if lp.wqkv is not None:
+        # local head counts from the fused width (exact: width scales 1/tp)
+        full = (cfg.n_heads + 2 * cfg.n_kv_heads) * cfg.head_dim
+        n_heads = cfg.n_heads * lp.wqkv.n_out // full
+        n_kv = cfg.n_kv_heads * lp.wqkv.n_out // full
+    else:
+        n_heads = lp.wq.n_out // cfg.head_dim  # local under TP
+        n_kv = lp.wk.n_out // cfg.head_dim
 
     def _reduce(y, bias):
         # partials stay f32 until after the cross-shard sum (bf16 rounding of
@@ -217,9 +227,17 @@ def _layer_forward(
         return q_lin(h_in, out_dtype=out_dtype)
 
     h = rms_norm(x, lp.attn_norm, cfg.rms_eps)
-    q = lp.wq(h).reshape(b, l, n_heads, cfg.head_dim)
-    k = lp.wk(h).reshape(b, l, n_kv, cfg.head_dim)
-    v = lp.wv(h).reshape(b, l, n_kv, cfg.head_dim)
+    if lp.wqkv is not None:
+        qkv = lp.wqkv(h)
+        qc, kc = n_heads * cfg.head_dim, n_kv * cfg.head_dim
+        q, k, v = qkv[..., :qc], qkv[..., qc : qc + kc], qkv[..., qc + kc :]
+        q = q.reshape(b, l, n_heads, cfg.head_dim)
+        k = k.reshape(b, l, n_kv, cfg.head_dim)
+        v = v.reshape(b, l, n_kv, cfg.head_dim)
+    else:
+        q = lp.wq(h).reshape(b, l, n_heads, cfg.head_dim)
+        k = lp.wk(h).reshape(b, l, n_kv, cfg.head_dim)
+        v = lp.wv(h).reshape(b, l, n_kv, cfg.head_dim)
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
     # per-sequence write offsets: vmapped dynamic-update-slice over the batch
@@ -230,8 +248,12 @@ def _layer_forward(
     wo, wo_bias = _split_bias(lp.wo, axis_name)
     x = x + _reduce(_row_parallel(wo, attn.reshape(b, l, n_heads * cfg.head_dim)), wo_bias)
     h = rms_norm(x, lp.mlp_norm, cfg.rms_eps)
-    gate = lp.w_gate(h)
-    up = lp.w_up(h)
+    if lp.w_gateup is not None:
+        gu = lp.w_gateup(h)
+        gate, up = jnp.split(gu, 2, axis=-1)
+    else:
+        gate = lp.w_gate(h)
+        up = lp.w_up(h)
     wd, wd_bias = _split_bias(lp.w_down, axis_name)
     x = x + _reduce(_row_parallel(wd, jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up), wd_bias)
     return x, k_cache, v_cache
@@ -344,9 +366,29 @@ def _ql(w: np.ndarray, cfg: ModelConfig) -> QuantLinear:
     return quantize_linear(w, blocksize=cfg.blocksize, quant_type=cfg.quant_type)
 
 
-def quantize_params(cfg: ModelConfig, weights: dict[str, np.ndarray]) -> ModelParams:
+def fuse_params(params: ModelParams, tp: int = 1) -> ModelParams:
+    """Fuse QKV and gate|up in every layer (pairk only) — one kernel launch
+    each instead of 3 + 2.  ``tp`` pre-interleaves columns per shard so
+    column-parallel sharding stays a contiguous NamedSharding."""
+    from .linear import fuse_linears
+
+    def fuse_layer(lp: LayerParams) -> LayerParams:
+        if not isinstance(lp.wq, QuantLinear) or lp.wq.layout != "pairk":
+            return lp
+        return dataclasses.replace(
+            lp,
+            wqkv=fuse_linears([lp.wq, lp.wk, lp.wv], tp=tp),
+            w_gateup=fuse_linears([lp.w_gate, lp.w_up], tp=tp),
+            wq=None, wk=None, wv=None, w_gate=None, w_up=None,
+        )
+
+    return dataclasses.replace(params, layers=[fuse_layer(lp) for lp in params.layers])
+
+
+def quantize_params(cfg: ModelConfig, weights: dict[str, np.ndarray], fuse: bool = False) -> ModelParams:
     """Build ModelParams from a dict of fp weights (HF llama naming, see
-    convert/hf.py).  Quantizes every linear; embeddings/norms stay bf16."""
+    convert/hf.py).  Quantizes every linear; embeddings/norms stay bf16.
+    ``fuse=True`` additionally fuses QKV and gate|up (see fuse_params)."""
     layers = []
     for i in range(cfg.n_layers):
         p = f"model.layers.{i}."
@@ -369,12 +411,13 @@ def quantize_params(cfg: ModelConfig, weights: dict[str, np.ndarray]) -> ModelPa
         lm_head = _ql(np.asarray(lm_w), cfg)
     else:
         lm_head = dense_linear(lm_w)
-    return ModelParams(
+    params = ModelParams(
         embed=embed,
         layers=layers,
         final_norm=jnp.asarray(weights["model.norm.weight"], jnp.bfloat16),
         lm_head=lm_head,
     )
+    return fuse_params(params) if fuse else params
 
 
 def dense_params(cfg: ModelConfig, weights: dict[str, np.ndarray], dtype=jnp.bfloat16) -> ModelParams:

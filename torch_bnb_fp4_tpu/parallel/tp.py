@@ -82,7 +82,7 @@ def validate_tp(cfg: T.ModelConfig, tp: int) -> None:
         raise ValueError(f"geometry {cfg} does not shard over tp={tp}")
 
 
-def quantize_params_tp(cfg: T.ModelConfig, weights: dict, tp: int) -> T.ModelParams:
+def quantize_params_tp(cfg: T.ModelConfig, weights: dict, tp: int, fuse: bool = False) -> T.ModelParams:
     """models.quantize_params, arranged for a model-axis width of ``tp``.
 
     The pairk layout (FP4 default) shards contiguously in both dims, so the
@@ -92,7 +92,8 @@ def quantize_params_tp(cfg: T.ModelConfig, weights: dict, tp: int) -> T.ModelPar
     validate_tp(cfg, tp)
     params = T.quantize_params(cfg, weights)
     if params.layers[0].wo.layout == "pairk":
-        return params
+        return T.fuse_params(params, tp=tp) if fuse else params
+    assert not fuse, "fusion is pairk-only"
 
     def requant(name_suffix: str, i: int) -> QuantLinear:
         w = weights[f"model.layers.{i}.{name_suffix}.weight"]
@@ -183,6 +184,14 @@ def _localize_params(params: T.ModelParams, cfg: T.ModelConfig, tp: int) -> T.Mo
     local inside shard_map)."""
 
     def loc_layer(lp: T.LayerParams) -> T.LayerParams:
+        if lp.wqkv is not None:
+            return dataclasses.replace(
+                lp,
+                wqkv=local_view(lp.wqkv, n_parts=tp),
+                w_gateup=local_view(lp.w_gateup, n_parts=tp),
+                wo=local_view(lp.wo, k_parts=tp),
+                w_down=local_view(lp.w_down, k_parts=tp),
+            )
         return dataclasses.replace(
             lp,
             wq=local_view(lp.wq, n_parts=tp),

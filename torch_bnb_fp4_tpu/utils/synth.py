@@ -48,7 +48,7 @@ def synth_dense_linear(key, n_out: int, k_in: int, *, scale: float = 0.01, dtype
     return DenseLinear(w=w, bias=None, n_out=n_out, k_in=k_in)
 
 
-def synth_params(cfg: ModelConfig, *, quantized: bool = True, seed: int = 0, tp: int = 1, layout: str = "pairk") -> ModelParams:
+def synth_params(cfg: ModelConfig, *, quantized: bool = True, seed: int = 0, tp: int = 1, layout: str = "pairk", fuse: bool = False) -> ModelParams:
     """Random ModelParams — quantized (FP4) or dense bf16 — built on device."""
     key = jax.random.PRNGKey(seed)
     kv_dim = cfg.n_kv_heads * cfg.head_dim
@@ -79,9 +79,14 @@ def synth_params(cfg: ModelConfig, *, quantized: bool = True, seed: int = 0, tp:
     ek, lk = jax.random.split(keys[-1])
     embed = (jax.random.normal(ek, (cfg.vocab_size, cfg.dim), jnp.float32) * 0.01).astype(jnp.bfloat16)
     lm_head = synth_dense_linear(lk, cfg.vocab_size, cfg.dim)
-    return ModelParams(
+    params = ModelParams(
         embed=embed,
         layers=layers,
         final_norm=jnp.ones((cfg.dim,), jnp.bfloat16),
         lm_head=lm_head,
     )
+    if fuse and quantized and layout == "pairk":
+        from ..models.transformer import fuse_params
+
+        params = fuse_params(params, tp=tp)
+    return params
