@@ -82,7 +82,12 @@ def main():
     ap.add_argument("--model", default="mistral7b", choices=["mistral7b", "tinyllama", "tiny"])
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--prompt-len", type=int, default=32)
+    ap.add_argument("--bf16-lm-head", action="store_true",
+                    help="keep lm_head bf16 in the FP4 model (reference parity mode; "
+                    "default quantizes it — this is an FP4 engine)")
     args = ap.parse_args()
+
+    import dataclasses
 
     from torch_bnb_fp4_tpu.models import ModelConfig
     from torch_bnb_fp4_tpu.utils.synth import synth_params
@@ -92,6 +97,8 @@ def main():
         "tinyllama": ModelConfig.tinyllama_1b,
         "tiny": ModelConfig.tiny_test,
     }[args.model]()
+    if not args.bf16_lm_head:
+        cfg = dataclasses.replace(cfg, quantize_lm_head=True)
 
     rtt = calibrate_rtt()
     log(f"backend={jax.default_backend()} rtt={rtt*1e3:.1f}ms model={args.model}")

@@ -603,12 +603,17 @@ def matmul_fp4_pk(
     block_n = _choose_block(n, block_n, 128)
     block_k = _k_block_pairk(k, block_k, blocksize)
     min_m = 8 if compute_dtype == jnp.float32 else 16
-    block_m = min(block_m, min_m * pl.cdiv(m, min_m))
-    mp = block_m * pl.cdiv(m, block_m)
-    if mp != m:
-        x = jnp.pad(x, ((0, mp - m), (0, 0)))
+    if m < min_m:
+        # full-dim M block: no masked rows and 1/8th the accumulator work
+        # (decode GEMV: bm=1 measured 8us/call faster than a masked bm=8)
+        block_m = m
+    else:
+        block_m = min(block_m, min_m * pl.cdiv(m, min_m))
+    # no explicit M padding: Pallas masks partial edge blocks (an extra
+    # jnp.pad + output slice costs ~12us per call on v5e)
+    mp = m
     nk = k // block_k
-    nm = mp // block_m
+    nm = pl.cdiv(m, block_m)
 
     has_bias = bias is not None
     bias = jnp.zeros((1, n), jnp.float32) if bias is None else bias.reshape(1, n)
@@ -623,7 +628,7 @@ def matmul_fp4_pk(
     )
     # m-innermost when several M blocks share the weights: decode once per
     # weight tile.  Needs a full-M f32 accumulator stripe in VMEM.
-    if nm > 1 and mp * block_n * 4 <= 48 * 2**20:
+    if nm > 1 and nm * block_m * block_n * 4 <= 48 * 2**20:
         kern = functools.partial(
             _matmul_pk_minner_kernel,
             blocksize=blocksize, nk=nk, out_dtype=out_dtype,
@@ -641,7 +646,7 @@ def matmul_fp4_pk(
             out_specs=pl.BlockSpec((block_m, block_n), lambda j, kk, mi: (mi, j), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
             scratch_shapes=[
-                pltpu.VMEM((mp, block_n), jnp.float32),
+                pltpu.VMEM((nm * block_m, block_n), jnp.float32),
                 pltpu.VMEM((block_k, block_n), jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32),
             ],
             cost_estimate=cost,

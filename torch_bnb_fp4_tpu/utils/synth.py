@@ -78,7 +78,10 @@ def synth_params(cfg: ModelConfig, *, quantized: bool = True, seed: int = 0, tp:
         ))
     ek, lk = jax.random.split(keys[-1])
     embed = (jax.random.normal(ek, (cfg.vocab_size, cfg.dim), jnp.float32) * 0.01).astype(jnp.bfloat16)
-    lm_head = synth_dense_linear(lk, cfg.vocab_size, cfg.dim)
+    if quantized and cfg.quantize_lm_head and layout == "pairk":
+        lm_head = synth_quant_linear(lk, cfg.vocab_size, cfg.dim, blocksize=cfg.blocksize)
+    else:
+        lm_head = synth_dense_linear(lk, cfg.vocab_size, cfg.dim)
     params = ModelParams(
         embed=embed,
         layers=layers,
