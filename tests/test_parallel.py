@@ -40,7 +40,7 @@ def test_mesh_has_8_devices():
 
 @pytest.mark.parametrize("name,tps", [
     ("mistral_7b", (2, 4, 8)),
-    ("tinyllama_1b", (2, 4)),
+    ("tinyllama_1b", (2,)),  # kv_dim 256: tp=4 would leave 64-lane shards
     ("llama2_70b", (2, 4, 8)),  # BASELINE config 5 geometry
 ])
 def test_model_zoo_geometries_shard(name, tps):

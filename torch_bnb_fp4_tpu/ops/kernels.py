@@ -507,15 +507,19 @@ def _matmul_pk_kernel(x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, *, blocks
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = _pairs_weight_tile(p_ref, compute_dtype)  # (BK, BN) values*192
     x = x_ref[:]
-    bk = w.shape[0]
+    bk = 2 * p_ref.shape[0]
     prec = jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
     acc = acc_ref[:]
+    hb = blocksize // 2
+    # decode ONE quant-block slice at a time and feed the MXU immediately:
+    # small temps (Mosaic keeps them in VREGs) and VPU decode of slice b+1
+    # software-pipelines against the MXU dot of slice b
     for b in range(bk // blocksize):
+        w = _pairs_weight_tile(p_ref.at[pl.ds(b * hb, hb), :], compute_dtype)
         part = jnp.dot(
             x[:, b * blocksize : (b + 1) * blocksize],
-            w[b * blocksize : (b + 1) * blocksize, :],
+            w,
             preferred_element_type=jnp.float32,
             precision=prec,
         )
