@@ -204,6 +204,20 @@ class Engine:
         self._steps += 1
         return len(active)
 
+    def stats(self) -> dict:
+        """Serving metrics (SURVEY.md §5 observability: tok/s, occupancy,
+        per-step latency are first-class here; the reference has none)."""
+        dt = time.perf_counter() - self._t0
+        return dict(
+            completions=len(self.completions),
+            decode_steps=self._steps,
+            tokens_out=self._tokens_out,
+            tok_per_s=self._tokens_out / dt if dt > 0 else 0.0,
+            avg_batch_occupancy=self._tokens_out / max(self._steps, 1),
+            active_slots=sum(r is not None for r in self.slot_req),
+            pending=len(self.pending),
+        )
+
     def run(self, requests: list[Request]) -> dict[int, Completion]:
         """Serve a list of requests to completion; returns uid -> Completion."""
         for r in requests:
