@@ -80,7 +80,7 @@ def time_decode(params, cfg, steps: int, prompt_len: int = 32, batch: int = 1, r
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="mistral7b", choices=["mistral7b", "tinyllama", "tiny"])
-    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--prompt-len", type=int, default=32)
     ap.add_argument("--bf16-lm-head", action="store_true",
                     help="keep lm_head bf16 in the FP4 model (reference parity mode; "

@@ -147,10 +147,6 @@ def main():
         bench(name, kern, data, rtt, extra)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def kern_gather(x_ref, c_ref, o_ref):
     # tpu.dynamic_gather: tab/indices/out all (BK, BN); out[i,j] = tab[i, idx[i,j]]
     # codebook lives in the first 16 lanes of each row.
@@ -169,3 +165,7 @@ def _register_gather():
 
 
 GATHER_TAB = _register_gather()
+
+
+if __name__ == "__main__":
+    main()
