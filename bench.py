@@ -68,13 +68,22 @@ def time_decode(params, cfg, steps: int, prompt_len: int = 32, batch: int = 1, r
 
     t0 = time.perf_counter()
     int(run(params, tok0, cache0, steps)[0])  # compile + warmup
+    int(run(params, tok0, cache0, 2 * steps)[0])
     log(f"  decode compile+warmup {time.perf_counter()-t0:.1f}s")
-    best = float("inf")
-    for _ in range(5):  # best-of-5: the tunneled chip shows run-to-run noise
-        t0 = time.perf_counter()
-        int(run(params, tok0, cache0, steps)[0])
-        best = min(best, time.perf_counter() - t0 - rtt)
-    return best / steps
+
+    def best_of(n_steps, reps=5):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            int(run(params, tok0, cache0, n_steps)[0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # difference method: RTT and all fixed per-call overheads cancel exactly
+    # (plain RTT subtraction went negative for tiny models on a noisy tunnel)
+    t1 = best_of(steps)
+    t2 = best_of(2 * steps)
+    return max(t2 - t1, 0.05 * t1) / steps
 
 
 def main():
