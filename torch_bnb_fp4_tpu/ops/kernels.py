@@ -478,6 +478,11 @@ def _decode_pairs(x_u8_as_i32: jax.Array) -> jax.Array:
     bits 0x4180 + q*0x40 (0x80 exponent steps interleaved with the 1.5x
     mantissa bit 0x40); [q >= 2] per half = bit 3 of (q + 6); for q < 2 the
     value is q * 0x3F80 (0 or bf16(1.0)).
+
+    17 nominal ops per byte-pair.  (A multiply-free variant — carry tricks
+    (s+0x7FFF)^0x7FFF and (o<<14)-(o<<7) replacing the two muls — measured
+    SLOWER in a controlled A/B: 104-108us vs 89.5us on the 4096x14336 GEMV
+    and 14.1 vs 12.4 ms/step on Mistral-7B; int vector muls are fine on v5e.)
     """
     X = x_u8_as_i32
     t = (X << 12) | X
