@@ -157,6 +157,9 @@ def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
     return out.astype(x.dtype)
 
 
+_ATTN_QUERY_CHUNK = 512
+
+
 def _attention(
     q: jax.Array,  # (B, Lq, Hq, D)
     k: jax.Array,  # (B, Lk, Hk, D)
@@ -164,6 +167,32 @@ def _attention(
     q_positions: jax.Array,  # (B, Lq) absolute positions of queries
     kv_valid: jax.Array,  # (B, Lk) bool: cache slot holds a real token
     kv_positions: jax.Array,  # (Lk,) absolute position of each cache slot
+    sliding_window: int | None,
+) -> jax.Array:
+    """Causal GQA attention.  Long prefills are chunked over the QUERY axis
+    (exact — each query row's softmax is independent) so the logits tensor
+    stays (B, Hk, G, chunk, Lk) instead of O(Lq*Lk); at Mistral geometry a
+    2k-token prompt would otherwise materialize >0.5GB of f32 logits."""
+    lq = q.shape[1]
+    if lq > _ATTN_QUERY_CHUNK:
+        outs = []
+        for c0 in range(0, lq, _ATTN_QUERY_CHUNK):
+            c1 = min(c0 + _ATTN_QUERY_CHUNK, lq)
+            outs.append(_attention_dense(
+                q[:, c0:c1], k, v, q_positions[:, c0:c1], kv_valid,
+                kv_positions, sliding_window,
+            ))
+        return jnp.concatenate(outs, axis=1)
+    return _attention_dense(q, k, v, q_positions, kv_valid, kv_positions, sliding_window)
+
+
+def _attention_dense(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    q_positions: jax.Array,
+    kv_valid: jax.Array,
+    kv_positions: jax.Array,
     sliding_window: int | None,
 ) -> jax.Array:
     b, lq, hq, d = q.shape
