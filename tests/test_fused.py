@@ -64,6 +64,47 @@ def test_fused_tp_matches_single_device(weights):
     assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.999
 
 
+def test_fused_tp_decode_steps(weights):
+    """Fused params through the TP mesh decode path (prefill + 2 steps),
+    teacher-forced against the unfused single-device oracle."""
+    from torch_bnb_fp4_tpu.parallel import (
+        make_mesh,
+        quantize_params_tp,
+        shard_cache,
+        shard_params,
+        tp_forward_fn,
+    )
+
+    mesh = make_mesh(n_model=4, n_data=1)
+    params_tp = shard_params(quantize_params_tp(CFG, weights, tp=4, fuse=True), mesh)
+    params_1 = quantize_params(CFG, weights)
+
+    b, max_len = 1, 6
+    seq = jnp.asarray([[2, 7, 1, 8, 2]], jnp.int32)
+    prompt, forced = seq[:, :3], seq[:, 3:]
+
+    cache1 = KVCache.zeros(CFG, b, max_len)
+    ref = []
+    lg, cache1 = forward(params_1, CFG, prompt, cache1)
+    ref.append(np.asarray(lg[:, -1]))
+    for i in range(forced.shape[1]):
+        lg, cache1 = forward(params_1, CFG, forced[:, i : i + 1], cache1)
+        ref.append(np.asarray(lg[:, -1]))
+
+    cache = shard_cache(KVCache.zeros(CFG, b, max_len), mesh)
+    fwd = jax.jit(tp_forward_fn(params_tp, CFG, cache, mesh))
+    got = []
+    lg, cache = fwd(params_tp, prompt, cache)
+    got.append(np.asarray(lg[:, -1]))
+    for i in range(forced.shape[1]):
+        lg, cache = fwd(params_tp, forced[:, i : i + 1], cache)
+        got.append(np.asarray(lg[:, -1]))
+
+    for r, t in zip(ref, got):
+        assert np.abs(r - t).max() < 0.05
+        assert np.corrcoef(r.ravel(), t.ravel())[0, 1] > 0.999
+
+
 def test_fused_checkpoint_load(tmp_path, weights):
     from torch_bnb_fp4_tpu.convert import load_checkpoint, save_checkpoint
 
