@@ -86,6 +86,24 @@ def time_decode(params, cfg, steps: int, prompt_len: int = 32, batch: int = 1, r
     return max(t2 - t1, 0.05 * t1) / steps
 
 
+def measure_error_band() -> float:
+    """Reference acceptance metric: mean |quantized_linear(x) - exact| with
+    torch-default init (band 0.045-0.065, sanity_check.py:177-179)."""
+    import numpy as np
+
+    from torch_bnb_fp4_tpu.models import quantize_linear
+
+    rng = np.random.default_rng(0)
+    k_in, n_out = 1024, 1024
+    bound = 1.0 / (k_in ** 0.5)
+    w = rng.uniform(-bound, bound, (n_out, k_in)).astype("float32")
+    b = rng.uniform(-bound, bound, n_out).astype("float32")
+    q = quantize_linear(w, b)
+    x = rng.standard_normal((8, k_in)).astype("float32")
+    y = jax.device_get(q(jnp.asarray(x)))
+    return float(abs(y - (x @ w.T + b)).mean())
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="mistral7b", choices=["mistral7b", "tinyllama", "tiny"])
@@ -132,11 +150,14 @@ def main():
     del params
     gc.collect()
 
+    err = measure_error_band()
+    log(f"dequant error band: {err:.4f} (reference gate 0.045-0.065)")
     print(json.dumps({
         "metric": f"{args.model}_fp4_decode_tok_s",
         "value": round(fp4_toks, 2),
         "unit": "tok/s",
         "vs_baseline": round(fp4_toks / bf16_toks, 3),
+        "dequant_avg_abs_err": round(err, 4),
     }), flush=True)
 
 
