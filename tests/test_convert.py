@@ -140,6 +140,34 @@ def _write_hf_checkpoint(path, cfg, weights):
     save_file(weights, os.path.join(path, "model.safetensors"))
 
 
+def test_ignore_list_keeps_layers_dense(tmp_path):
+    """Reference ignore_layer_names parity (__init__.py:788,831-835):
+    matched layers stay bf16 DenseLinear through convert + checkpoint."""
+    from torch_bnb_fp4_tpu.models import DenseLinear, QuantLinear, generate
+
+    weights = T.random_weights(CFG, seed=6)
+    _write_hf_checkpoint(tmp_path / "hf", CFG, weights)
+    convert_hf_model(
+        str(tmp_path / "hf"), str(tmp_path / "out"),
+        ignore=("layers.0.self_attn", "mlp.down_proj"), verbose=False,
+    )
+    cfg2, params = load_checkpoint(str(tmp_path / "out"))
+    l0, l1 = params.layers[0], params.layers[1]
+    assert isinstance(l0.wq, DenseLinear) and isinstance(l0.wo, DenseLinear)
+    assert isinstance(l0.w_down, DenseLinear) and isinstance(l1.w_down, DenseLinear)
+    assert isinstance(l0.w_gate, QuantLinear) and isinstance(l1.wq, QuantLinear)
+    # mixed model runs end to end, fused where possible
+    out = generate(params, cfg2, jnp.asarray([[1, 2, 3]], jnp.int32), max_new_tokens=2)
+    assert out.shape == (1, 2)
+    from torch_bnb_fp4_tpu.models import fuse_params
+
+    fused = fuse_params(params)
+    assert fused.layers[0].wqkv is None  # dense qkv not fusable
+    assert fused.layers[1].wqkv is not None
+    out2 = generate(fused, cfg2, jnp.asarray([[1, 2, 3]], jnp.int32), max_new_tokens=2)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
 def test_hf_convert_end_to_end(tmp_path):
     """HF dir -> packed checkpoint -> load -> forward matches in-process
     quantization of the same weights."""

@@ -12,12 +12,16 @@ def main():
     ap.add_argument("out_dir")
     ap.add_argument("--quant-type", default="fp4", choices=["fp4", "nf4"])
     ap.add_argument("--quantize-lm-head", action="store_true")
+    ap.add_argument("--ignore", action="append", default=[],
+                    help="substring of layer names to keep unquantized "
+                    "(repeatable) — reference ignore_layer_names parity")
     args = ap.parse_args()
     convert_hf_model(
         args.model_dir,
         args.out_dir,
         quant_type=args.quant_type,
         quantize_lm_head=args.quantize_lm_head,
+        ignore=tuple(args.ignore),
     )
 
 

@@ -51,7 +51,13 @@ def _decode_arrays(arrays: dict, bf16_keys: list[str]) -> dict:
     return arrays
 
 
-def _ql_to_arrays(prefix: str, q: QuantLinear, store: dict) -> dict:
+def _ql_to_arrays(prefix: str, q, store: dict) -> dict:
+    if isinstance(q, DenseLinear):
+        # unquantized (ignore-listed) layer
+        store[f"{prefix}.w"] = np.asarray(q.w)
+        if q.bias is not None:
+            store[f"{prefix}.bias"] = np.asarray(q.bias)
+        return dict(kind="dense", n_out=q.n_out, k_in=q.k_in)
     for f in _QL_FIELDS:
         v = getattr(q, f)
         if v is not None:
@@ -61,7 +67,15 @@ def _ql_to_arrays(prefix: str, q: QuantLinear, store: dict) -> dict:
                 codebook=None if q.codebook is None else np.asarray(q.codebook).tolist())
 
 
-def _ql_from_arrays(prefix: str, meta: dict, arrays: dict, tp: int) -> QuantLinear:
+def _ql_from_arrays(prefix: str, meta: dict, arrays: dict, tp: int):
+    if meta.get("kind") == "dense":
+        bias = arrays.get(f"{prefix}.bias")
+        return DenseLinear(
+            w=jnp.asarray(arrays[f"{prefix}.w"]),
+            bias=None if bias is None else jnp.asarray(bias),
+            n_out=meta["n_out"],
+            k_in=meta["k_in"],
+        )
     packed = arrays[f"{prefix}.packed"]
     hi = arrays[f"{prefix}.absmax_hi"]
     lo = arrays.get(f"{prefix}.absmax_lo")

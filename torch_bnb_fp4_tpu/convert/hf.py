@@ -81,15 +81,29 @@ def quantize_hf_weights(
     *,
     quantize_lm_head: bool = False,
     quant_type: str = "fp4",
+    ignore: tuple[str, ...] = (),
 ) -> ModelParams:
-    """Build packed ModelParams from an HF-named weight dict (in memory)."""
+    """Build packed ModelParams from an HF-named weight dict (in memory).
+
+    ``ignore``: substrings of layer names to keep UNQUANTIZED (bf16
+    DenseLinear) — the reference's ignore-list
+    (recursively_replace_with_fp4_linear(ignore_layer_names=...),
+    torch_bnb_fp4/__init__.py:788,831-835).
+    """
     import jax.numpy as jnp
 
     code = fmt.FP4_CODE if quant_type == "fp4" else fmt.NF4_CODE
 
     layout = "pairk" if quant_type == "fp4" else "splitk"
 
-    def ql(name: str) -> QuantLinear:
+    def ql(name: str):
+        if any(s in name for s in ignore):
+            return dense_linear(_to_f32(tensors[name + ".weight"]),
+                                None if tensors.get(name + ".bias") is None
+                                else _to_f32(tensors[name + ".bias"]))
+        return _ql_quant(name)
+
+    def _ql_quant(name: str) -> QuantLinear:
         w = _to_f32(tensors[name + ".weight"])
         n_out, k_in = w.shape
         kq = 8 * cfg.blocksize if layout == "pairk" else max(1024, 2 * cfg.blocksize)
@@ -150,6 +164,7 @@ def convert_hf_model(
     *,
     quant_type: str = "fp4",
     quantize_lm_head: bool = False,
+    ignore: tuple[str, ...] = (),
     verbose: bool = True,
 ) -> ModelConfig:
     """Stream-convert an HF llama/mistral checkpoint to a packed-FP4 one."""
@@ -162,7 +177,8 @@ def convert_hf_model(
         if verbose:
             print(f"  read {name} {arr.shape}", flush=True)
     params = quantize_hf_weights(
-        cfg, tensors, quantize_lm_head=quantize_lm_head, quant_type=quant_type
+        cfg, tensors, quantize_lm_head=quantize_lm_head, quant_type=quant_type,
+        ignore=ignore,
     )
     save_checkpoint(out_dir, cfg, params)
     if verbose:

@@ -183,6 +183,8 @@ def local_view(q: QuantLinear, *, n_parts: int = 1, k_parts: int = 1) -> QuantLi
     """
     assert q.n_out % n_parts == 0, (q.n_out, n_parts)
     assert q.k_in % k_parts == 0, (q.k_in, k_parts)
+    if isinstance(q, DenseLinear):
+        return dataclasses.replace(q, n_out=q.n_out // n_parts, k_in=q.k_in // k_parts)
     if q.layout == "pairk":
         # pairk slices contiguously: only the static K changes
         assert (q.k_in // k_parts) % (2 * q.blocksize) == 0

@@ -401,15 +401,18 @@ def fuse_params(params: ModelParams, tp: int = 1) -> ModelParams:
     column-parallel sharding stays a contiguous NamedSharding."""
     from .linear import fuse_linears
 
+    def _fusable(*ls):
+        return all(isinstance(l, QuantLinear) and l.layout == "pairk" for l in ls)
+
     def fuse_layer(lp: LayerParams) -> LayerParams:
-        if not isinstance(lp.wq, QuantLinear) or lp.wq.layout != "pairk":
-            return lp
-        return dataclasses.replace(
-            lp,
-            wqkv=fuse_linears([lp.wq, lp.wk, lp.wv], tp=tp),
-            w_gateup=fuse_linears([lp.w_gate, lp.w_up], tp=tp),
-            wq=None, wk=None, wv=None, w_gate=None, w_up=None,
-        )
+        rep = {}
+        if _fusable(lp.wq, lp.wk, lp.wv):
+            rep.update(wqkv=fuse_linears([lp.wq, lp.wk, lp.wv], tp=tp),
+                       wq=None, wk=None, wv=None)
+        if _fusable(lp.w_gate, lp.w_up):
+            rep.update(w_gateup=fuse_linears([lp.w_gate, lp.w_up], tp=tp),
+                       w_gate=None, w_up=None)
+        return dataclasses.replace(lp, **rep) if rep else lp
 
     return dataclasses.replace(params, layers=[fuse_layer(lp) for lp in params.layers])
 
