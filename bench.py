@@ -71,19 +71,20 @@ def time_decode(params, cfg, steps: int, prompt_len: int = 32, batch: int = 1, r
     int(run(params, tok0, cache0, 2 * steps)[0])
     log(f"  decode compile+warmup {time.perf_counter()-t0:.1f}s")
 
-    def best_of(n_steps, reps=5):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            int(run(params, tok0, cache0, n_steps)[0])
-            best = min(best, time.perf_counter() - t0)
-        return best
-
     # difference method: RTT and all fixed per-call overheads cancel exactly
-    # (plain RTT subtraction went negative for tiny models on a noisy tunnel)
-    t1 = best_of(steps)
-    t2 = best_of(2 * steps)
-    return max(t2 - t1, 0.05 * t1) / steps
+    # (plain RTT subtraction went negative for tiny models on a noisy tunnel).
+    # The two lengths are INTERLEAVED so minute-scale chip drift (observed up
+    # to +-30%) hits both the same way; per-pair differences are min-reduced.
+    best = float("inf")
+    for _ in range(6):
+        t0 = time.perf_counter()
+        int(run(params, tok0, cache0, steps)[0])
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        int(run(params, tok0, cache0, 2 * steps)[0])
+        t2 = time.perf_counter() - t0
+        best = min(best, max(t2 - t1, 0.05 * t1))
+    return best / steps
 
 
 def measure_error_band() -> float:
