@@ -140,6 +140,43 @@ def _write_hf_checkpoint(path, cfg, weights):
     save_file(weights, os.path.join(path, "model.safetensors"))
 
 
+def test_double_quant_absmax_roundtrip(rng):
+    """Double-quantized (nested) absmax decodes exactly: encode f32 absmax
+    bnb-style (mean offset, blockwise max-abs scale, 256-entry codebook),
+    decode with dequantize_nested_absmax, and the resulting model matches
+    the plain-absmax one within nested-quant error."""
+    from torch_bnb_fp4_tpu.convert import dequantize_nested_absmax, from_bnb_state
+    from torch_bnb_fp4_tpu.models import dequantize_weight
+
+    n_out, k_in, bs, nbs = 96, 1024, 64, 256
+    w = (rng.standard_normal((n_out, k_in)) * 0.1).astype(np.float32)
+    packed_flat, absmax = fmt.quantize_fp4(w)
+
+    # bnb-style nested encode: offset = mean, symmetric dynamic codebook
+    offset = np.float32(absmax.mean())
+    centered = absmax - offset
+    code2 = np.linspace(-1.0, 1.0, 256).astype(np.float32)  # stand-in dynamic map
+    nblocks = (centered.size + nbs - 1) // nbs
+    pad = nblocks * nbs - centered.size
+    cp = np.pad(centered, (0, pad)).reshape(nblocks, nbs)
+    absmax2 = np.abs(cp).max(axis=1).astype(np.float32)
+    safe = np.where(absmax2 == 0, 1, absmax2)
+    normed = cp / safe[:, None]
+    idx = np.abs(normed[..., None] - code2[None, None, :]).argmin(-1).astype(np.uint8)
+    u8 = idx.reshape(-1)[: centered.size]
+
+    decoded = dequantize_nested_absmax(u8, absmax2, code2, float(offset), nbs)
+    # nested quantization error on absmax is small (8-bit)
+    rel = np.abs(decoded - absmax) / (np.abs(absmax) + 1e-8)
+    assert rel.mean() < 0.02, rel.mean()
+
+    q_plain = from_bnb_state(packed_flat, absmax, (n_out, k_in))
+    q_nested = from_bnb_state(packed_flat, decoded, (n_out, k_in))
+    w1 = np.asarray(dequantize_weight(q_plain, out_dtype=jnp.float32, interpret=True))
+    w2 = np.asarray(dequantize_weight(q_nested, out_dtype=jnp.float32, interpret=True))
+    assert np.abs(w1 - w2).mean() < 0.01 * np.abs(w1).mean() + 1e-6
+
+
 def test_ignore_list_keeps_layers_dense(tmp_path):
     """Reference ignore_layer_names parity (__init__.py:788,831-835):
     matched layers stay bf16 DenseLinear through convert + checkpoint."""

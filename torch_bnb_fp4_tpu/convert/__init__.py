@@ -1,9 +1,10 @@
-from .bnb import from_bnb_state, from_bnb_torch_layer
+from .bnb import dequantize_nested_absmax, from_bnb_state, from_bnb_torch_layer
 from .checkpoint import load_checkpoint, save_checkpoint
 from .hf import config_from_hf, convert_hf_model, iter_hf_tensors, quantize_hf_weights
 from .quantize import quantize_pack_pairk, quantize_pack_sharded, repack_k_shards
 
 __all__ = [
+    "dequantize_nested_absmax",
     "from_bnb_state",
     "from_bnb_torch_layer",
     "save_checkpoint",

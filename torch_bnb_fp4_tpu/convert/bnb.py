@@ -22,6 +22,32 @@ from ..models.linear import QuantLinear
 from ..ops import format as fmt
 
 
+def dequantize_nested_absmax(
+    absmax_u8: np.ndarray,
+    absmax2: np.ndarray,
+    code2: np.ndarray,
+    offset: float,
+    nested_blocksize: int = 256,
+) -> np.ndarray:
+    """Decode bnb DOUBLE-QUANTIZED absmax to f32.
+
+    bnb's double quantization (bnb_4bit_use_double_quant=True) stores the
+    per-block absmax as uint8 codes into a 256-entry dynamic-quant codebook,
+    blockwise-scaled by ``absmax2`` (one f32 per ``nested_blocksize`` codes)
+    with a global mean ``offset``:  absmax = code2[u8] * absmax2[blk] + offset.
+    The REFERENCE refuses such checkpoints (README.md:221-224 requires
+    double_quant=False); decoding them here means this framework accepts the
+    HF default BitsAndBytesConfig(bnb_4bit_use_double_quant=True).
+    """
+    u8 = np.asarray(absmax_u8, np.uint8).reshape(-1)
+    code2 = np.asarray(code2, np.float32)
+    absmax2 = np.asarray(absmax2, np.float32).reshape(-1)
+    n = u8.size
+    vals = code2[u8]
+    blk = np.arange(n) // nested_blocksize
+    return (vals * absmax2[blk] + np.float32(offset)).astype(np.float32)
+
+
 def from_bnb_state(
     packed_flat: np.ndarray,
     absmax_flat: np.ndarray,
@@ -89,13 +115,25 @@ def from_bnb_state(
 
 def from_bnb_torch_layer(linear, layout: str | None = None) -> QuantLinear:
     """Convert a live bnb ``Linear4bit``/``LinearFP4`` (torch) — the
-    reference's TorchFP4Linear.from_linear input (__init__.py:695-714)."""
+    reference's TorchFP4Linear.from_linear input (__init__.py:695-714).
+    Handles double-quantized states (quant_state.state2) the reference
+    rejects."""
     w = linear.weight
     qs = getattr(w, "quant_state", None)
     if qs is None:
         raise ValueError("layer is not bnb-quantized (no quant_state)")
     packed = w.data.detach().cpu().numpy().reshape(-1)
-    absmax = np.asarray(qs.absmax.detach().cpu().numpy(), np.float32)
+    state2 = getattr(qs, "state2", None)
+    if state2 is not None:  # double quantization: decode nested absmax
+        absmax = dequantize_nested_absmax(
+            qs.absmax.detach().cpu().numpy(),
+            state2.absmax.detach().cpu().numpy(),
+            state2.code.detach().cpu().numpy(),
+            float(qs.offset),
+            nested_blocksize=state2.blocksize,
+        )
+    else:
+        absmax = np.asarray(qs.absmax.detach().cpu().numpy(), np.float32)
     shape = tuple(qs.shape)
     bias = None if linear.bias is None else linear.bias.detach().cpu().float().numpy()
     quant_type = getattr(qs, "quant_type", "fp4")
