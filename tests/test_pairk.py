@@ -112,6 +112,23 @@ def test_quant_linear_pairk_default_and_matches_splitk(rng):
     np.testing.assert_allclose(wp, ws, rtol=3e-7, atol=1e-12)
 
 
+@pytest.mark.parametrize("bs", [32, 128, 256])
+def test_pairk_blocksizes(rng, bs):
+    """bnb supports blocksizes beyond the default 64; the pairk layout and
+    kernels must too (scale-tile quantum adapts: 8*blocksize)."""
+    n_out, k_in = 128, 2048
+    w = (rng.standard_normal((n_out, k_in)) * 0.1).astype(np.float32)
+    q = L.quantize_linear(w, blocksize=bs)
+    x = rng.standard_normal((3, k_in)).astype(np.float32)
+    y = np.asarray(q(jnp.asarray(x), interpret=True))
+    packed, scale = fmt.pack_tpu_pairk(w, blocksize=bs)
+    golden = x @ fmt.unpack_tpu_pairk(packed, scale, blocksize=bs)
+    np.testing.assert_allclose(y, golden, rtol=1e-4, atol=1e-4)
+    # GEMV path too
+    y1 = np.asarray(q(jnp.asarray(x[:1]), interpret=True))
+    np.testing.assert_allclose(y1, golden[:1], rtol=1e-4, atol=1e-4)
+
+
 def test_error_band_pairk(rng):
     """Reference acceptance band holds for the pairk hot path."""
     k_in, n_out = 1024, 1024
