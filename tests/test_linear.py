@@ -56,7 +56,7 @@ def test_padding_is_exact_vs_flat_bnb(rng):
     (padding blocks quantize to 0 and are sliced away)."""
     n_out, k_in = 70, 320  # K % 64 == 0 -> bnb flat blocks stay within rows
     w = (rng.standard_normal((n_out, k_in)) * 0.1).astype(np.float32)
-    q = L.quantize_linear(w)
+    q = L.quantize_linear(w, variant="exact")  # bnb parity is an exact-variant property
     wt = np.asarray(L.dequantize_weight(q, out_dtype=jnp.float32, interpret=True))
     golden = fmt.dequantize_fp4(*fmt.quantize_fp4(w), (n_out, k_in))
     np.testing.assert_allclose(wt, golden, rtol=1e-6, atol=1e-7)

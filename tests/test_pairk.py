@@ -19,17 +19,24 @@ def test_rank_remap_involution():
     np.testing.assert_array_equal(r[r], np.arange(16))
 
 
-def test_decode_pairs_exact_all_bytes():
-    """All 256 bytes decode to the bf16 bits of 192*code[remap(nibble)]."""
+def test_exact_pairk_code_is_rank_remapped_fp4():
+    np.testing.assert_array_equal(fmt.pairk_code("exact"), fmt.FP4_CODE[fmt.RANK_REMAP])
+
+
+@pytest.mark.parametrize("variant", fmt.PAIRK_VARIANTS)
+def test_decode_pairs_exact_all_bytes(variant):
+    """All 256 bytes decode to the bf16 bits of 192*pairk_code(variant)[nib]
+    in every decode variant (7/12/16-op kernels)."""
     import ml_dtypes
 
-    bits = np.asarray(K._decode_pairs(jnp.arange(256, dtype=jnp.int32).reshape(8, 32)))
+    bits = np.asarray(K._decode_pairs(jnp.arange(256, dtype=jnp.int32).reshape(8, 32), variant))
     bits = bits.view(np.uint32).reshape(-1)
     u16 = np.stack([bits & 0xFFFF, bits >> 16], -1).astype(np.uint16)
     vals = u16.view(ml_dtypes.bfloat16).astype(np.float32)
     b = np.arange(256)
-    np.testing.assert_array_equal(vals[:, 0], 192.0 * fmt.FP4_CODE[fmt.RANK_REMAP[b & 0xF]])
-    np.testing.assert_array_equal(vals[:, 1], 192.0 * fmt.FP4_CODE[fmt.RANK_REMAP[b >> 4]])
+    code192 = 192.0 * fmt.pairk_code(variant)
+    np.testing.assert_array_equal(vals[:, 0], code192[b & 0xF])
+    np.testing.assert_array_equal(vals[:, 1], code192[b >> 4])
 
 
 def test_pack_unpack_pairk_roundtrip(rng):
@@ -97,8 +104,10 @@ def test_quant_linear_pairk_default_and_matches_splitk(rng):
     n_out, k_in = 192, 1024
     w = (rng.standard_normal((n_out, k_in)) * 0.1).astype(np.float32)
     b = rng.standard_normal(n_out).astype(np.float32)
-    qp = L.quantize_linear(w, b)  # default layout for fp4
-    assert qp.layout == "pairk" and qp.absmax_lo is None
+    qd = L.quantize_linear(w, b)  # defaults: pairk layout, ramp variant
+    assert qd.layout == "pairk" and qd.absmax_lo is None and qd.variant == "ramp"
+    # layout equivalence is an exact-variant property (splitk is FP4-coded)
+    qp = L.quantize_linear(w, b, variant="exact")
     qs = L.quantize_linear(w, b, layout="splitk")
     for shape in ((1, k_in), (3, k_in), (2, 2, k_in)):
         x = rng.standard_normal(shape).astype(np.float32)
@@ -121,12 +130,79 @@ def test_pairk_blocksizes(rng, bs):
     q = L.quantize_linear(w, blocksize=bs)
     x = rng.standard_normal((3, k_in)).astype(np.float32)
     y = np.asarray(q(jnp.asarray(x), interpret=True))
-    packed, scale = fmt.pack_tpu_pairk(w, blocksize=bs)
-    golden = x @ fmt.unpack_tpu_pairk(packed, scale, blocksize=bs)
+    packed, scale = fmt.pack_tpu_pairk(w, blocksize=bs, variant=q.variant)
+    golden = x @ fmt.unpack_tpu_pairk(packed, scale, blocksize=bs, variant=q.variant)
     np.testing.assert_allclose(y, golden, rtol=1e-4, atol=1e-4)
     # GEMV path too
     y1 = np.asarray(q(jnp.asarray(x[:1]), interpret=True))
     np.testing.assert_allclose(y1, golden[:1], rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["ramp", "zramp"])
+def test_variant_kernel_matches_golden(rng, variant):
+    """Remapped-codebook packs run through the full layer path and match the
+    per-variant numpy golden on GEMV and GEMM."""
+    n_out, k_in = 256, 1024
+    w = (rng.standard_normal((n_out, k_in)) * 0.1).astype(np.float32)
+    b = rng.standard_normal(n_out).astype(np.float32)
+    q = L.quantize_linear(w, b, variant=variant)
+    assert q.variant == variant
+    packed, scale = fmt.pack_tpu_pairk(w, variant=variant)
+    wt = fmt.unpack_tpu_pairk(packed, scale, variant=variant)
+    for m in (1, 5):
+        x = rng.standard_normal((m, k_in)).astype(np.float32)
+        y = np.asarray(q(jnp.asarray(x), interpret=True))
+        np.testing.assert_allclose(y, x @ wt + b, rtol=1e-4, atol=1e-4)
+    # dequantize_weight uses the variant decode too
+    wq = np.asarray(L.dequantize_weight(q, out_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(wq, wt.T, rtol=3e-7, atol=1e-12)
+
+
+@pytest.mark.parametrize("variant", fmt.PAIRK_VARIANTS)
+def test_variant_error_band(rng, variant):
+    """Every variant stays in the reference acceptance band; the remaps are
+    at least as accurate as exact FP4 in the weight domain."""
+    k_in, n_out = 1024, 1024
+    bound = 1.0 / np.sqrt(k_in)
+    w = rng.uniform(-bound, bound, (n_out, k_in)).astype(np.float32)
+    q = L.quantize_linear(w, variant=variant)
+    x = rng.standard_normal((8, k_in)).astype(np.float32)
+    y = np.asarray(q(jnp.asarray(x), interpret=True))
+    err = np.abs(y - x @ w.T).mean()
+    assert 0.04 < err < 0.07, (variant, err)
+    wq = np.asarray(L.dequantize_weight(q, out_dtype=jnp.float32, interpret=True))
+    werr = np.abs(wq - w).mean()
+    if variant != "exact":
+        q0 = L.quantize_linear(w, variant="exact")
+        w0 = np.asarray(L.dequantize_weight(q0, out_dtype=jnp.float32, interpret=True))
+        assert werr <= np.abs(w0 - w).mean() * 1.01, (variant, werr)
+
+
+def test_variant_checkpoint_roundtrip(tmp_path, rng):
+    """variant survives save/load (old manifests without it load as exact)."""
+    from torch_bnb_fp4_tpu.convert import load_checkpoint, save_checkpoint
+    from torch_bnb_fp4_tpu.models import KVCache, ModelConfig, forward, quantize_params
+    from torch_bnb_fp4_tpu.models import transformer as T
+
+    cfg = ModelConfig.tiny_test(n_layers=1)
+    assert cfg.variant == "ramp"
+    params = quantize_params(cfg, T.random_weights(cfg, seed=3))
+    assert params.layers[0].wq.variant == "ramp"
+    save_checkpoint(str(tmp_path / "c"), cfg, params)
+    cfg2, params2 = load_checkpoint(str(tmp_path / "c"))
+    assert params2.layers[0].wq.variant == "ramp"
+    tokens = jnp.asarray([[1, 2]], jnp.int32)
+    l1, _ = forward(params, cfg, tokens, KVCache.zeros(cfg, 1, 2))
+    l2, _ = forward(params2, cfg2, tokens, KVCache.zeros(cfg2, 1, 2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_fuse_rejects_mixed_variants(rng):
+    w = (rng.standard_normal((128, 1024)) * 0.1).astype(np.float32)
+    qa = L.quantize_linear(w, variant="ramp")
+    qb = L.quantize_linear(w, variant="exact")
+    with pytest.raises(AssertionError, match="variant"):
+        L.fuse_linears([qa, qb])
 
 
 def test_error_band_pairk(rng):

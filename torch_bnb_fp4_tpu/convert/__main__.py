@@ -11,6 +11,10 @@ def main():
     ap.add_argument("model_dir")
     ap.add_argument("out_dir")
     ap.add_argument("--quant-type", default="fp4", choices=["fp4", "nf4"])
+    ap.add_argument("--variant", default="ramp", choices=["ramp", "zramp", "exact"],
+                    help="fp4 pairk codebook: ramp = fastest decode (default, "
+                    "slightly more accurate than exact FP4); exact = bit-exact "
+                    "bnb FP4 codes")
     ap.add_argument("--quantize-lm-head", action="store_true")
     ap.add_argument("--ignore", action="append", default=[],
                     help="substring of layer names to keep unquantized "
@@ -22,6 +26,7 @@ def main():
         quant_type=args.quant_type,
         quantize_lm_head=args.quantize_lm_head,
         ignore=tuple(args.ignore),
+        variant=args.variant,
     )
 
 

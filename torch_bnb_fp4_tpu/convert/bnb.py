@@ -109,6 +109,7 @@ def from_bnb_state(
         blocksize=blocksize,
         layout=layout,
         k_shards=1,
+        variant="exact",  # bnb codes are fixed: only the bit-exact decode fits
         codebook=None if quant_type == "fp4" else jnp.asarray(code),
     )
 

@@ -63,7 +63,7 @@ def _ql_to_arrays(prefix: str, q, store: dict) -> dict:
         if v is not None:
             store[f"{prefix}.{f}"] = np.asarray(v)
     return dict(kind="quant", n_out=q.n_out, k_in=q.k_in, blocksize=q.blocksize,
-                layout=q.layout, k_shards=q.k_shards,
+                layout=q.layout, k_shards=q.k_shards, variant=q.variant,
                 codebook=None if q.codebook is None else np.asarray(q.codebook).tolist())
 
 
@@ -97,6 +97,7 @@ def _ql_from_arrays(prefix: str, meta: dict, arrays: dict, tp: int):
         blocksize=meta["blocksize"],
         layout=layout,
         k_shards=k_shards,
+        variant=meta.get("variant", "exact"),
         codebook=None if cb is None else jnp.asarray(np.asarray(cb, np.float32)),
     )
 

@@ -114,7 +114,7 @@ def quantize_hf_weights(
             wp[:n_out, :k_in] = w
             w = wp
         if layout == "pairk":
-            packed, hi = quantize_pack_pairk(w, blocksize=cfg.blocksize)
+            packed, hi = quantize_pack_pairk(w, blocksize=cfg.blocksize, variant=cfg.variant)
             lo = None
         else:
             packed, hi, lo = quantize_pack_sharded(w, blocksize=cfg.blocksize, code=code)
@@ -124,7 +124,7 @@ def quantize_hf_weights(
             absmax_lo=None if lo is None else jnp.asarray(lo),
             bias=None if bias is None else jnp.asarray(_to_f32(bias)),
             n_out=n_out, k_in=k_in, blocksize=cfg.blocksize, layout=layout,
-            k_shards=1,
+            k_shards=1, variant=cfg.variant if layout == "pairk" else "exact",
             codebook=None if quant_type == "fp4" else jnp.asarray(code),
         )
 
@@ -165,12 +165,11 @@ def convert_hf_model(
     quant_type: str = "fp4",
     quantize_lm_head: bool = False,
     ignore: tuple[str, ...] = (),
+    variant: str = "ramp",
     verbose: bool = True,
 ) -> ModelConfig:
     """Stream-convert an HF llama/mistral checkpoint to a packed-FP4 one."""
-    cfg = config_from_hf(model_dir)
-    if quant_type != "fp4":
-        cfg = ModelConfig(**{**cfg.__dict__, "quant_type": quant_type})
+    cfg = config_from_hf(model_dir, quant_type=quant_type, variant=variant)
     tensors: dict[str, np.ndarray] = {}
     for name, arr in iter_hf_tensors(model_dir):
         tensors[name] = arr

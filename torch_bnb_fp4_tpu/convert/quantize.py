@@ -72,11 +72,12 @@ def quantize_pack_sharded(
     return packed, hi, lo
 
 
-def quantize_pack_pairk(w: np.ndarray, blocksize: int = 64):
+def quantize_pack_pairk(w: np.ndarray, blocksize: int = 64, variant: str = "exact"):
     """Fast bit-identical equivalent of ``fmt.pack_tpu_pairk`` (torch ops).
 
-    Returns (packed uint8 (K/2, N) rank-remapped pair-K bytes,
-    scale f32 (K/bs, N) = absmax/192)."""
+    Returns (packed uint8 (K/2, N) rank-coded pair-K bytes,
+    scale f32 (K/bs, N) = absmax/192).  ``variant``: stored codebook
+    (ops/format.PAIRK_MAGS192)."""
     import torch
 
     w = np.ascontiguousarray(w, dtype=np.float32)
@@ -88,8 +89,11 @@ def quantize_pack_pairk(w: np.ndarray, blocksize: int = 64):
     absmax = blocks.abs().amax(dim=2)
     safe = torch.where(absmax == 0, torch.ones_like(absmax), absmax)
     normed = blocks / safe.unsqueeze(2)
-    codes = _nearest_codes_torch(normed.reshape(n_out, k_in), fmt.FP4_CODE)
-    codes = torch.from_numpy(fmt.RANK_REMAP)[codes.long()]
+    if variant == "exact":
+        codes = _nearest_codes_torch(normed.reshape(n_out, k_in), fmt.FP4_CODE)
+        codes = torch.from_numpy(fmt.RANK_REMAP)[codes.long()]
+    else:
+        codes = _nearest_codes_torch(normed.reshape(n_out, k_in), fmt.pairk_code(variant))
     ct = codes.T.contiguous()  # (K, N)
     packed = ((ct[1::2] << 4) | ct[0::2]).numpy().astype(np.uint8)
     scale = (absmax.T.contiguous().numpy() / fmt.PAIRK_VALUE_SCALE).astype(np.float32)

@@ -61,6 +61,10 @@ class QuantLinear:
     layout: str = dataclasses.field(default="pairk", metadata=dict(static=True))
     # number of self-contained K-slices in a splitk packing (row-parallel TP)
     k_shards: int = dataclasses.field(default=1, metadata=dict(static=True))
+    # pairk codebook variant (ops/format.PAIRK_MAGS192): "exact" = bit-exact
+    # bnb FP4 (16-op decode), "zramp"/"ramp" = pack-time remaps with 12/7-op
+    # decode (slightly MORE accurate for Gaussian weights).  splitk ignores it.
+    variant: str = dataclasses.field(default="exact", metadata=dict(static=True))
     # None -> exact arithmetic FP4 decode; else a (16,) table (e.g. NF4)
     codebook: jax.Array | None = None
 
@@ -118,6 +122,7 @@ def quantize_linear(
     quant_type: str = "fp4",
     layout: str | None = None,
     k_shards: int = 1,
+    variant: str = "ramp",
 ) -> QuantLinear:
     """Quantize a weight matrix (n_out, k_in) into a QuantLinear.
 
@@ -126,7 +131,11 @@ def quantize_linear(
     __init__.py:695-747).  ``quant_type``: "fp4" or "nf4".  ``layout``:
     defaults to "pairk" for fp4 (the fast path; shards contiguously in both
     dims), "splitk" for nf4 (codebook as data).  ``k_shards``: splitk-only
-    row-parallel pre-slicing.
+    row-parallel pre-slicing.  ``variant``: pairk codebook for FRESH
+    quantization — defaults to "ramp" (7-op decode, ~2x faster serving than
+    "exact", slightly more accurate; see ops/format.PAIRK_MAGS192).  Use
+    "exact" for strict bnb-FP4 code parity; bnb-imported state is always
+    "exact" (convert/bnb.py).
     """
     w = np.asarray(w, dtype=np.float32)
     n_out, k_in = w.shape
@@ -152,7 +161,7 @@ def quantize_linear(
     else:
         wp = w
     if layout == "pairk":
-        packed, scale = fmt.pack_tpu_pairk(wp, blocksize=blocksize)
+        packed, scale = fmt.pack_tpu_pairk(wp, blocksize=blocksize, variant=variant)
         absmax_hi, absmax_lo = scale, None
     else:
         packed, absmax_hi, absmax_lo = fmt.pack_tpu_sharded(
@@ -169,6 +178,7 @@ def quantize_linear(
         blocksize=blocksize,
         layout=layout,
         k_shards=k_shards,
+        variant=variant if layout == "pairk" else "exact",
         codebook=None if quant_type == "fp4" else jnp.asarray(code),
     )
 
@@ -240,12 +250,13 @@ def apply_linear(q: QuantLinear, x: jax.Array, *, block_m: int = 256, out_dtype=
         if m == 1:
             out = K.gemv_fp4_pk(
                 x2, q.packed, q.absmax_hi, bias, blocksize=q.blocksize,
-                out_dtype=out_dtype, interpret=interpret,
+                out_dtype=out_dtype, interpret=interpret, variant=q.variant,
             )
         else:
             out = K.matmul_fp4_pk(
                 x2, q.packed, q.absmax_hi, bias, blocksize=q.blocksize,
                 block_m=block_m, out_dtype=out_dtype, interpret=interpret,
+                variant=q.variant,
             )
     else:
         if q.k_shards > 1:
@@ -283,6 +294,7 @@ def fuse_linears(linears: list[QuantLinear], tp: int = 1) -> QuantLinear:
     """
     q0 = linears[0]
     assert all(l.layout == "pairk" for l in linears), "fusion is pairk-only"
+    assert all(l.variant == q0.variant for l in linears), "fused linears must share a codebook variant"
     assert all(l.k_in == q0.k_in and l.k_pad == q0.k_pad and l.blocksize == q0.blocksize for l in linears)
     assert all(l.n_out == l.n_pad for l in linears), "fused linears must be 128-aligned"
     assert all(l.n_out % tp == 0 for l in linears)
@@ -316,6 +328,7 @@ def fuse_linears(linears: list[QuantLinear], tp: int = 1) -> QuantLinear:
         blocksize=q0.blocksize,
         layout="pairk",
         k_shards=1,
+        variant=q0.variant,
     )
 
 
@@ -325,7 +338,7 @@ def dequantize_weight(q: QuantLinear, out_dtype=jnp.bfloat16, interpret: bool | 
     if q.layout == "pairk":
         wt = K.dequantize_tpu_pk(
             q.packed, q.absmax_hi, blocksize=q.blocksize,
-            out_dtype=out_dtype, interpret=interpret,
+            out_dtype=out_dtype, interpret=interpret, variant=q.variant,
         )
         return wt[: q.k_in, : q.n_out].T
     D = q.k_shards

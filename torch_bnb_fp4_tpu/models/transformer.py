@@ -47,6 +47,10 @@ class ModelConfig:
     quantize_lm_head: bool = False
     blocksize: int = 64
     quant_type: str = "fp4"
+    # pairk codebook variant for FRESH fp4 quantization (ops/format.
+    # PAIRK_MAGS192): "ramp" = 7-op decode (default; slightly more accurate
+    # than exact FP4 for Gaussian weights), "exact" = bit-exact bnb codes.
+    variant: str = "ramp"
 
     @property
     def head_dim(self) -> int:
@@ -392,7 +396,8 @@ def generate(
 # ---------------------------------------------------------------------------
 
 def _ql(w: np.ndarray, cfg: ModelConfig) -> QuantLinear:
-    return quantize_linear(w, blocksize=cfg.blocksize, quant_type=cfg.quant_type)
+    return quantize_linear(w, blocksize=cfg.blocksize, quant_type=cfg.quant_type,
+                           variant=cfg.variant)
 
 
 def fuse_params(params: ModelParams, tp: int = 1) -> ModelParams:

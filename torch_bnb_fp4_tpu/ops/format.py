@@ -283,12 +283,48 @@ del _R
 # INTEGER code values on the MXU and apply absmax/192 per block afterwards.
 PAIRK_VALUE_SCALE = 192.0
 
+# Pair-K decode VARIANTS: pack-time code remaps that delete decode ops.
+#
+# The in-kernel decode builds bf16 bits 0x4180 + rank*0x40 for ranks 2..7
+# (magnitudes {32..192}/192 — exactly FP4's six regular magnitudes); the two
+# smallest FP4 codes {0, 1/192} are ramp EXCEPTIONS costing ~9 of the 17
+# integer ops per byte.  Remapping them at quantization time:
+#
+#   exact  [0, 1, 32..192]/192 : bit-exact bnb FP4 (required for bnb-imported
+#           checkpoints whose codes are fixed), 16-op decode.
+#   zramp  [0, 24, 32..192]/192: drops only the 1/192 code (its bin is better
+#           covered by 24/192 = 0.125), 12-op decode.
+#   ramp   [16, 24, 32..192]/192: pure affine-in-bits codebook — bf16 bits =
+#           0x4180 + rank*0x40 | sign<<15, 7-op decode.  All-zero weight
+#           BLOCKS still decode exactly to 0 (scale = absmax/192 = 0).
+#
+# Both remaps are MORE accurate than exact FP4 for Gaussian weights (mean
+# |w - q(w)| 0.00170-0.00171 vs 0.00193 at blocksize 64, sigma 0.02): the
+# 1/192 level is nearly useless (its Voronoi bin [0.003, 0.086] sits far
+# from it), 0.125/0.0833 are better levels.  Measured on v5e (4096x14336
+# GEMV vs 153.5us bf16 matvec): exact 93.5us (1.64x), zramp 73.7us (2.08x),
+# ramp 50.7us (3.03x, near the ~44us HBM roofline).
+PAIRK_MAGS192 = {
+    "exact": np.array([0, 1, 32, 48, 64, 96, 128, 192], np.float32),
+    "zramp": np.array([0, 24, 32, 48, 64, 96, 128, 192], np.float32),
+    "ramp": np.array([16, 24, 32, 48, 64, 96, 128, 192], np.float32),
+}
+PAIRK_VARIANTS = tuple(PAIRK_MAGS192)
 
-def pack_tpu_pairk(w: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE):
+
+def pairk_code(variant: str = "exact") -> np.ndarray:
+    """(16,) f32 RANK-CODED codebook of a pairk variant: index bit 3 = sign,
+    bits 0-2 = magnitude rank (ascending).  ``pairk_code("exact")`` equals
+    ``FP4_CODE[RANK_REMAP]``."""
+    m = PAIRK_MAGS192[variant] / PAIRK_VALUE_SCALE
+    return np.concatenate([m, -m]).astype(np.float32)
+
+
+def pack_tpu_pairk(w: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE, variant: str = "exact"):
     """Quantize + pack a weight matrix (N_out, K_in) into the pair-K layout.
 
-    Layout (FP4 only; NF4 keeps the split-K layout):
-      * ``packed`` uint8 (K/2, N): byte (i, n) holds the RANK-REMAPPED codes
+    Layout (FP4-family only; NF4 keeps the split-K layout):
+      * ``packed`` uint8 (K/2, N): byte (i, n) holds the RANK-CODED codes
         of Wt[2i+1, n] (high nibble) and Wt[2i, n] (low nibble) — K-adjacent
         weights pair in one byte, so ``pltpu.bitcast(i32 -> bf16)`` lands the
         decoded pair K-contiguous (low 16 bits -> row 2i).
@@ -296,6 +332,8 @@ def pack_tpu_pairk(w: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE):
         integer code values, see PAIRK_VALUE_SCALE).
       * shards contiguously in BOTH dims with no re-pairing: row-parallel TP
         slices dim 0 of packed+scale, column-parallel slices dim 1.
+      * ``variant``: the stored codebook (see PAIRK_MAGS192).  "exact" is
+        bit-exact bnb FP4; "ramp"/"zramp" are faster-decoding remaps.
 
     Same absmax grid (bnb-identical blocks along K) as pack_tpu.
     """
@@ -303,18 +341,23 @@ def pack_tpu_pairk(w: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE):
     n_out, k_in = w.shape
     if k_in % (2 * blocksize) != 0:
         raise ValueError(f"K={k_in} must be divisible by 2*blocksize={2 * blocksize}")
-    codes, absmax = quantize_codes(w, blocksize, FP4_CODE)
-    codes = RANK_REMAP[codes]
+    if variant == "exact":
+        # quantize against bnb's FP4_CODE (identical tie behavior to the flat
+        # bnb path), then remap magnitude-index -> rank
+        codes, absmax = quantize_codes(w, blocksize, FP4_CODE)
+        codes = RANK_REMAP[codes]
+    else:
+        codes, absmax = quantize_codes(w, blocksize, pairk_code(variant))
     ct = codes.reshape(n_out, k_in).T  # (K, N)
     packed = ((ct[1::2].astype(np.uint8) << 4) | ct[0::2]).astype(np.uint8)
     scale = (absmax.reshape(n_out, k_in // blocksize).T / PAIRK_VALUE_SCALE).astype(np.float32)
     return np.ascontiguousarray(packed), np.ascontiguousarray(scale)
 
 
-def unpack_tpu_pairk(packed: np.ndarray, scale: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE) -> np.ndarray:
+def unpack_tpu_pairk(packed: np.ndarray, scale: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE, variant: str = "exact") -> np.ndarray:
     """Golden dequantize of the pair-K layout -> Wt float32 (K, N).
 
-    Spec: value = (192 * FP4_CODE[RANK_REMAP[nibble]]) * scale, with the
+    Spec: value = (192 * pairk_code(variant)[nibble]) * scale, with the
     integer code value exact in f32/bf16.  (Equals code * absmax up to one
     f32 rounding of absmax/192 — within the bnb error envelope.)
     """
@@ -323,7 +366,7 @@ def unpack_tpu_pairk(packed: np.ndarray, scale: np.ndarray, blocksize: int = DEF
     ct = np.empty((k, n), dtype=np.uint8)
     ct[0::2] = packed & 0xF
     ct[1::2] = packed >> 4
-    ivals = (PAIRK_VALUE_SCALE * FP4_CODE)[RANK_REMAP[ct]]  # exact ints
+    ivals = (PAIRK_VALUE_SCALE * pairk_code(variant))[ct]  # exact ints
     scales = np.repeat(scale.astype(np.float32), blocksize, axis=0)
     return (ivals * scales).astype(np.float32)
 

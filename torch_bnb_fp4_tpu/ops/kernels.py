@@ -470,42 +470,51 @@ def _k_block_pairk(k: int, requested: int, blocksize: int) -> int:
     return k
 
 
-def _decode_pairs(x_u8_as_i32: jax.Array) -> jax.Array:
+def _decode_pairs(x_u8_as_i32: jax.Array, variant: str = "exact") -> jax.Array:
     """(R, C) i32 holding packed bytes -> (R, C) i32 holding two bf16 bit
-    patterns of 192*FP4_CODE[RANK_REMAP[nibble]]; low 16 bits = low nibble.
+    patterns of 192*pairk_code(variant)[nibble]; low 16 bits = low nibble.
 
-    Identities: the six regular magnitudes sorted by rank q=2..7 have bf16
-    bits 0x4180 + q*0x40 (0x80 exponent steps interleaved with the 1.5x
-    mantissa bit 0x40); [q >= 2] per half = bit 3 of (q + 6); for q < 2 the
-    value is q * 0x3F80 (0 or bf16(1.0)).
+    Identities: the six shared magnitudes at ranks q=2..7 have bf16 bits
+    0x4180 + q*0x40 (0x80 exponent steps interleaved with the 1.5x mantissa
+    bit 0x40); t = X*0x1001 replicates the byte so both nibbles decode in one
+    i32 lane (== (X<<12)|X, one op).  Per-variant exception handling
+    (ops/format.PAIRK_MAGS192):
 
-    17 nominal ops per byte-pair.  (A multiply-free variant — carry tricks
-    (s+0x7FFF)^0x7FFF and (o<<14)-(o<<7) replacing the two muls — measured
-    SLOWER in a controlled A/B: 104-108us vs 89.5us on the 4096x14336 GEMV
-    and 14.1 vs 12.4 ms/step on Mistral-7B; int vector muls are fine on v5e.)
+      ramp   (7 ops):  no exceptions — rank 0 IS on the ramp (16 -> 0x4180).
+      zramp  (12 ops): rank 0 decodes to +-0: mask via bit 3 of (q + 7).
+      exact  (16 ops): ranks {0, 1} decode to {0, 1}: mask via bit 3 of
+                       (q + 6), then OR rank back in scaled to bf16(1.0).
+
+    Measured v5e 4096x14336 GEMV: 93.5 / 73.7 / 50.7us for exact/zramp/ramp
+    vs 153.5us bf16 matvec (roofline ~44us).  (A multiply-free exact variant
+    — carry tricks replacing the muls — measured SLOWER in a controlled A/B:
+    104-108us vs 89.5us; int vector muls are ~1 slot on v5e.)
     """
     X = x_u8_as_i32
-    t = (X << 12) | X
+    t = X * 0x1001
     q2 = t & 0x00070007
     bits = 0x41804180 + (q2 << 6)
-    s1 = ((q2 + 0x00060006) >> 3) & 0x00010001
-    bits = bits & (s1 * 0xFFFF)
-    one = q2 & (s1 ^ 0x00010001)
-    bits = bits | (one * 0x3F80)
+    if variant != "ramp":
+        off = 0x00060006 if variant == "exact" else 0x00070007
+        s1 = ((q2 + off) >> 3) & 0x00010001
+        bits = bits & (s1 * 0xFFFF)
+        if variant == "exact":
+            one = q2 & (s1 ^ 0x00010001)
+            bits = bits | (one * 0x3F80)
     return bits | ((t & 0x00080008) << 12)
 
 
-def _pairs_weight_tile(p_ref, compute_dtype):
+def _pairs_weight_tile(p_ref, compute_dtype, variant="exact"):
     """packed-bytes ref block (BK/2, BN) -> bf16/f32 weight-value tile
     (BK, BN) holding 192*code (scale NOT applied)."""
-    bits = _decode_pairs(p_ref[:].astype(jnp.int32))
+    bits = _decode_pairs(p_ref[:].astype(jnp.int32), variant)
     w = pltpu.bitcast(bits, jnp.bfloat16)  # (BK, BN), K-contiguous
     if compute_dtype == jnp.float32:
         w = w.astype(jnp.float32)  # integer values <= 192: exact
     return w
 
 
-def _matmul_pk_kernel(x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, *, blocksize, nk, out_dtype, compute_dtype, has_bias):
+def _matmul_pk_kernel(x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, *, blocksize, nk, out_dtype, compute_dtype, has_bias, variant):
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
@@ -521,7 +530,7 @@ def _matmul_pk_kernel(x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, *, blocks
     # small temps (Mosaic keeps them in VREGs) and VPU decode of slice b+1
     # software-pipelines against the MXU dot of slice b
     for b in range(bk // blocksize):
-        w = _pairs_weight_tile(p_ref.at[pl.ds(b * hb, hb), :], compute_dtype)
+        w = _pairs_weight_tile(p_ref.at[pl.ds(b * hb, hb), :], compute_dtype, variant)
         part = jnp.dot(
             x[:, b * blocksize : (b + 1) * blocksize],
             w,
@@ -539,7 +548,7 @@ def _matmul_pk_kernel(x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, *, blocks
         out_ref[:] = res.astype(out_dtype)
 
 
-def _matmul_pk_minner_kernel(x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, w_ref, *, blocksize, nk, out_dtype, compute_dtype, has_bias, block_m):
+def _matmul_pk_minner_kernel(x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, w_ref, *, blocksize, nk, out_dtype, compute_dtype, has_bias, block_m, variant):
     """m-INNERMOST variant (grid (n, k, m)): each weight tile is decoded ONCE
     into scratch and reused for every M block — decode cost is one weight
     pass regardless of M (the GEMM/prefill path; the reference's qlinear
@@ -549,7 +558,7 @@ def _matmul_pk_minner_kernel(x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, w_
 
     @pl.when(mi == 0)
     def _():
-        w = _pairs_weight_tile(p_ref, jnp.float32)
+        w = _pairs_weight_tile(p_ref, jnp.float32, variant)
         # pre-scale ONCE per weight tile (amortized over all M blocks): the
         # dots then run at full block_k depth, keeping the MXU pipeline full
         # (64-deep per-quant-block dots cap it at ~50%)
@@ -577,7 +586,7 @@ def _matmul_pk_minner_kernel(x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, w_
 
 @functools.partial(
     jax.jit,
-    static_argnames=("blocksize", "out_dtype", "block_m", "block_k", "block_n", "interpret"),
+    static_argnames=("blocksize", "out_dtype", "block_m", "block_k", "block_n", "interpret", "variant"),
 )
 def matmul_fp4_pk(
     x: jax.Array,
@@ -591,12 +600,16 @@ def matmul_fp4_pk(
     block_k: int = 512,
     block_n: int = 2048,
     interpret: bool | None = None,
+    variant: str = "exact",
 ) -> jax.Array:
     """Fused pair-K dequant-matmul: y[M, N] = x[M, K] @ Wt[K, N] (+ bias).
 
     ``packed`` uint8 (K/2, N) pair-K layout; ``scale`` f32 (K/blocksize, N)
-    = absmax/192.  FP4 only (ops/format.pack_tpu_pairk).
+    = absmax/192; ``variant`` selects the stored codebook's decode
+    (ops/format.pack_tpu_pairk + PAIRK_MAGS192 — must match the pack).
     """
+    if variant not in fmt.PAIRK_VARIANTS:
+        raise ValueError(f"unknown pairk variant {variant!r}; expected one of {fmt.PAIRK_VARIANTS}")
     if interpret is None:
         interpret = _interpret_default()
     kp, n = packed.shape
@@ -642,6 +655,7 @@ def matmul_fp4_pk(
             _matmul_pk_minner_kernel,
             blocksize=blocksize, nk=nk, out_dtype=out_dtype,
             compute_dtype=compute_dtype, has_bias=has_bias, block_m=block_m,
+            variant=variant,
         )
         out = pl.pallas_call(
             kern,
@@ -671,6 +685,7 @@ def matmul_fp4_pk(
         out_dtype=out_dtype,
         compute_dtype=compute_dtype,
         has_bias=has_bias,
+        variant=variant,
     )
     out = pl.pallas_call(
         kern,
@@ -694,29 +709,30 @@ def matmul_fp4_pk(
     return out[:m]
 
 
-def gemv_fp4_pk(x, packed, scale, bias=None, *, blocksize=64, out_dtype=None, block_k=512, block_n=8192, interpret=None):
+def gemv_fp4_pk(x, packed, scale, bias=None, *, blocksize=64, out_dtype=None, block_k=512, block_n=8192, interpret=None, variant="exact"):
     """Batch-1 pair-K decode fast path (v5e sweet spot: block_k 512, widest N
-    block that fits — 86us on 4096x14336 at bn=7168 vs 95us at 3584; 1.81x
-    the bf16 matvec)."""
+    block that fits).  Measured 4096x14336 vs 153.5us bf16 matvec: 93.5us
+    exact / 73.7us zramp / 50.7us ramp (see _decode_pairs)."""
     assert x.shape[0] == 1
     return matmul_fp4_pk(
         x, packed, scale, bias,
         blocksize=blocksize, out_dtype=out_dtype,
         block_m=8, block_k=block_k, block_n=block_n, interpret=interpret,
+        variant=variant,
     )
 
 
-def _dequant_pk_kernel(p_ref, s_ref, o_ref, *, blocksize, out_dtype):
-    w = _pairs_weight_tile(p_ref, jnp.float32)  # (BK, BN) 192*code, f32 exact
+def _dequant_pk_kernel(p_ref, s_ref, o_ref, *, blocksize, out_dtype, variant):
+    w = _pairs_weight_tile(p_ref, jnp.float32, variant)  # (BK, BN) 192*code, f32 exact
     s = jnp.repeat(s_ref[:], blocksize, axis=0)  # (BK, BN)
     o_ref[:] = (w * s).astype(out_dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("blocksize", "out_dtype", "block_k", "block_n", "interpret"),
+    static_argnames=("blocksize", "out_dtype", "block_k", "block_n", "interpret", "variant"),
 )
-def dequantize_tpu_pk(packed, scale, *, blocksize=64, out_dtype=jnp.bfloat16, block_k=1024, block_n=1024, interpret=None):
+def dequantize_tpu_pk(packed, scale, *, blocksize=64, out_dtype=jnp.bfloat16, block_k=1024, block_n=1024, interpret=None, variant="exact"):
     """Materialize Wt (K, N) from the pair-K layout (golden:
     ops/format.unpack_tpu_pairk)."""
     if interpret is None:
@@ -727,7 +743,7 @@ def dequantize_tpu_pk(packed, scale, *, blocksize=64, out_dtype=jnp.bfloat16, bl
     block_n = _choose_block(n, block_n, 128)
     block_k = _k_block_pairk(k, block_k, blocksize)
     grid = (kp // (block_k // 2), n // block_n)
-    kern = functools.partial(_dequant_pk_kernel, blocksize=blocksize, out_dtype=out_dtype)
+    kern = functools.partial(_dequant_pk_kernel, blocksize=blocksize, out_dtype=out_dtype, variant=variant)
     return pl.pallas_call(
         kern,
         grid=grid,

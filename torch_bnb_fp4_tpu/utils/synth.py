@@ -17,7 +17,7 @@ from ..models.linear import DenseLinear, QuantLinear
 from ..models.transformer import KVCache, LayerParams, ModelConfig, ModelParams
 
 
-def synth_quant_linear(key, n_out: int, k_in: int, *, blocksize: int = 64, layout: str = "pairk", k_shards: int = 1, absmax_scale: float = 0.01) -> QuantLinear:
+def synth_quant_linear(key, n_out: int, k_in: int, *, blocksize: int = 64, layout: str = "pairk", k_shards: int = 1, absmax_scale: float = 0.01, variant: str = "ramp") -> QuantLinear:
     """Random QuantLinear with plausible absmax magnitudes, built on device."""
     assert k_in % (2 * blocksize) == 0 and n_out % 128 == 0, (n_out, k_in)
     kp = k_in // 2
@@ -40,6 +40,7 @@ def synth_quant_linear(key, n_out: int, k_in: int, *, blocksize: int = 64, layou
         blocksize=blocksize,
         layout=layout,
         k_shards=k_shards,
+        variant=variant if layout == "pairk" else "exact",
     )
 
 
@@ -58,6 +59,7 @@ def synth_params(cfg: ModelConfig, *, quantized: bool = True, seed: int = 0, tp:
             return synth_quant_linear(
                 key, n_out, k_in, blocksize=cfg.blocksize, layout=layout,
                 k_shards=k_shards if layout == "splitk" else 1,
+                variant=cfg.variant,
             )
         return synth_dense_linear(key, n_out, k_in)
 
@@ -79,7 +81,7 @@ def synth_params(cfg: ModelConfig, *, quantized: bool = True, seed: int = 0, tp:
     ek, lk = jax.random.split(keys[-1])
     embed = (jax.random.normal(ek, (cfg.vocab_size, cfg.dim), jnp.float32) * 0.01).astype(jnp.bfloat16)
     if quantized and cfg.quantize_lm_head and layout == "pairk":
-        lm_head = synth_quant_linear(lk, cfg.vocab_size, cfg.dim, blocksize=cfg.blocksize)
+        lm_head = synth_quant_linear(lk, cfg.vocab_size, cfg.dim, blocksize=cfg.blocksize, variant=cfg.variant)
     else:
         lm_head = synth_dense_linear(lk, cfg.vocab_size, cfg.dim)
     params = ModelParams(
