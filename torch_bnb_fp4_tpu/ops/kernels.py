@@ -558,12 +558,23 @@ def _matmul_pk_minner_kernel(x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, w_
 
     @pl.when(mi == 0)
     def _():
-        w = _pairs_weight_tile(p_ref, jnp.float32, variant)
         # pre-scale ONCE per weight tile (amortized over all M blocks): the
         # dots then run at full block_k depth, keeping the MXU pipeline full
-        # (64-deep per-quant-block dots cap it at ~50%)
-        s = jnp.repeat(s_ref[:], blocksize, axis=0)
-        w_ref[:] = (w * s).astype(w_ref.dtype)
+        # (64-deep per-quant-block dots cap it at ~50%).  For bf16 compute the
+        # whole prescale stays in bf16 (2 values/lane): the decoded integer
+        # code values are exact in bf16 and only the scale multiply rounds
+        # (one bf16 ulp, ~2^-9 relative — noise next to FP4's ~6% quant
+        # error).  Scale broadcast is one native (1, BN)-row broadcast per
+        # quant block, NOT jnp.repeat (sublane-shuffle repeat measured ~100us
+        # extra per 4096x14336 at M=2048).
+        # decode one quant-block slice at a time: (blocksize, BN) temps stay
+        # near vector registers instead of spilling a whole (BK, BN) tile
+        hb = blocksize // 2
+        for b in range(2 * p_ref.shape[0] // blocksize):
+            w = _pairs_weight_tile(p_ref.at[pl.ds(b * hb, hb), :], w_ref.dtype, variant)
+            w_ref[pl.ds(b * blocksize, blocksize), :] = (
+                w * s_ref[b][None, :].astype(w_ref.dtype)
+            )
 
     row = pl.ds(mi * block_m, block_m)
 
@@ -597,7 +608,7 @@ def matmul_fp4_pk(
     blocksize: int = 64,
     out_dtype=None,
     block_m: int = 256,
-    block_k: int = 512,
+    block_k: int | None = None,
     block_n: int = 2048,
     interpret: bool | None = None,
     variant: str = "exact",
@@ -607,6 +618,8 @@ def matmul_fp4_pk(
     ``packed`` uint8 (K/2, N) pair-K layout; ``scale`` f32 (K/blocksize, N)
     = absmax/192; ``variant`` selects the stored codebook's decode
     (ops/format.pack_tpu_pairk + PAIRK_MAGS192 — must match the pack).
+    ``block_k`` None = auto: 512 for the decode/GEMV-shaped m-outer path,
+    1024 for the m-inner GEMM path (both measured best on v5e).
     """
     if variant not in fmt.PAIRK_VARIANTS:
         raise ValueError(f"unknown pairk variant {variant!r}; expected one of {fmt.PAIRK_VARIANTS}")
@@ -623,7 +636,8 @@ def matmul_fp4_pk(
     x = x.astype(compute_dtype)
 
     block_n = _choose_block(n, block_n, 128)
-    block_k = _k_block_pairk(k, block_k, blocksize)
+    auto_bk = block_k is None
+    block_k = _k_block_pairk(k, 512 if auto_bk else block_k, blocksize)
     min_m = 8 if compute_dtype == jnp.float32 else 16
     if m < min_m:
         # full-dim M block: no masked rows and 1/8th the accumulator work
@@ -651,6 +665,9 @@ def matmul_fp4_pk(
     # m-innermost when several M blocks share the weights: decode once per
     # weight tile.  Needs a full-M f32 accumulator stripe in VMEM.
     if nm > 1 and nm * block_m * block_n * 4 <= 48 * 2**20:
+        if auto_bk:  # deeper K blocks amortize per-tile decode (measured ~2%)
+            block_k = _k_block_pairk(k, 1024, blocksize)
+            nk = k // block_k
         kern = functools.partial(
             _matmul_pk_minner_kernel,
             blocksize=blocksize, nk=nk, out_dtype=out_dtype,
