@@ -102,19 +102,36 @@ def _ql_from_arrays(prefix: str, meta: dict, arrays: dict, tp: int):
     )
 
 
-def save_checkpoint(path: str, cfg: ModelConfig, params: ModelParams) -> None:
-    os.makedirs(path, exist_ok=True)
-    manifest: dict = {
-        "format_version": FORMAT_VERSION,
-        "config": dataclasses.asdict(cfg),
-        "tensors": {},
-    }
+class CheckpointWriter:
+    """Incremental checkpoint writer: one ``put`` per weight group, manifest
+    written at ``finish``.  This is what makes streaming conversion possible
+    (convert/hf.py): each group is quantized, written, and freed before the
+    next one is read — no full-model RAM spike."""
 
-    def put(name: str, arrays: dict, meta: dict):
+    def __init__(self, path: str, cfg: ModelConfig):
+        os.makedirs(path, exist_ok=True)
+        self._path = path
+        self._manifest: dict = {
+            "format_version": FORMAT_VERSION,
+            "config": dataclasses.asdict(cfg),
+            "tensors": {},
+        }
+
+    def put(self, name: str, arrays: dict, meta: dict) -> None:
         arrays, bf16_keys = _encode_arrays(arrays)
-        np.savez(os.path.join(path, name + ".npz"), **arrays)
+        np.savez(os.path.join(self._path, name + ".npz"), **arrays)
+        meta = dict(meta)
         meta["bf16_keys"] = bf16_keys
-        manifest["tensors"][name] = meta
+        self._manifest["tensors"][name] = meta
+
+    def finish(self) -> None:
+        with open(os.path.join(self._path, "manifest.json"), "w") as f:
+            json.dump(self._manifest, f, indent=1)
+
+
+def save_checkpoint(path: str, cfg: ModelConfig, params: ModelParams) -> None:
+    writer = CheckpointWriter(path, cfg)
+    put = writer.put
 
     put("embed", {"embed.w": np.asarray(params.embed)}, {"kind": "dense_embed"})
     put("final_norm", {"final_norm.w": np.asarray(params.final_norm)}, {"kind": "norm"})
@@ -142,8 +159,7 @@ def save_checkpoint(path: str, cfg: ModelConfig, params: ModelParams) -> None:
         if b is not None:
             arrays["lm_head.bias"] = b
         put("lm_head", arrays, {"kind": "dense"})
-    with open(os.path.join(path, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1)
+    writer.finish()
 
 
 def load_checkpoint(path: str, tp: int = 1, fuse: bool = False) -> tuple[ModelConfig, ModelParams]:

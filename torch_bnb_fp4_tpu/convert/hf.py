@@ -2,9 +2,11 @@
 
 Covers the reference's model-conversion capability (SURVEY.md §3.1:
 recursively_replace_with_fp4_linear + bnb quantize-on-.to(device),
-torch_bnb_fp4/__init__.py:781-922) as an offline tool: read safetensors
-tensor-by-tensor (no full-model RAM spike), quantize+pack each linear,
-write the packed checkpoint.  Norms/embeddings stay bf16; lm_head stays
+torch_bnb_fp4/__init__.py:781-922) as an offline tool: stream tensors from
+the safetensors shards, quantize+pack+write one weight group at a time
+(convert_hf_model holds at most a few groups of floats in RAM — verified by
+tests/test_convert.py's peak-pending assertion), write the packed
+checkpoint.  Norms/embeddings stay bf16; lm_head stays
 unquantized by default (the reference's ignore-list default keeps lm_head
 full precision, __init__.py:788).
 """
@@ -17,7 +19,7 @@ from collections.abc import Iterator
 
 import numpy as np
 
-from ..models.linear import QuantLinear, dense_linear
+from ..models.linear import DenseLinear, QuantLinear, dense_linear
 from ..models.transformer import LayerParams, ModelConfig, ModelParams
 from ..ops import format as fmt
 from .checkpoint import save_checkpoint
@@ -158,6 +160,61 @@ def quantize_hf_weights(
     )
 
 
+# --------------------------------------------------------------------------
+# Streaming conversion: quantize + write one weight group at a time.
+# --------------------------------------------------------------------------
+
+_LINEAR_FIELDS = {
+    "wq": "self_attn.q_proj", "wk": "self_attn.k_proj", "wv": "self_attn.v_proj",
+    "wo": "self_attn.o_proj", "w_gate": "mlp.gate_proj", "w_up": "mlp.up_proj",
+    "w_down": "mlp.down_proj",
+}
+_ROW_PARALLEL = ("wo", "w_down")
+
+
+def _np_bf16(a: np.ndarray):
+    import ml_dtypes
+
+    return _to_f32(a).astype(ml_dtypes.bfloat16)
+
+
+def _np_quant_linear(cfg: ModelConfig, w: np.ndarray, bias: np.ndarray | None):
+    """Quantize one linear into a numpy-leaf QuantLinear (no device copies —
+    the streaming converter is a pure host tool)."""
+    layout = "pairk" if cfg.quant_type == "fp4" else "splitk"
+    code = fmt.FP4_CODE if cfg.quant_type == "fp4" else fmt.NF4_CODE
+    w = _to_f32(w)
+    n_out, k_in = w.shape
+    kq = 8 * cfg.blocksize if layout == "pairk" else max(1024, 2 * cfg.blocksize)
+    k_pad = (k_in + kq - 1) // kq * kq
+    n_pad = (n_out + 127) // 128 * 128
+    if (k_pad, n_pad) != (k_in, n_out):
+        wp = np.zeros((n_pad, k_pad), np.float32)
+        wp[:n_out, :k_in] = w
+        w = wp
+    if layout == "pairk":
+        packed, hi = quantize_pack_pairk(w, blocksize=cfg.blocksize, variant=cfg.variant)
+        lo = None
+    else:
+        packed, hi, lo = quantize_pack_sharded(w, blocksize=cfg.blocksize, code=code)
+    return QuantLinear(
+        packed=packed, absmax_hi=hi, absmax_lo=lo,
+        bias=None if bias is None else _to_f32(bias),
+        n_out=n_out, k_in=k_in, blocksize=cfg.blocksize, layout=layout,
+        k_shards=1, variant=cfg.variant if layout == "pairk" else "exact",
+        codebook=None if cfg.quant_type == "fp4" else code,
+    )
+
+
+def _np_dense_linear(w: np.ndarray, bias: np.ndarray | None) -> DenseLinear:
+    w = _to_f32(w)
+    n_out, k_in = w.shape
+    return DenseLinear(
+        w=_np_bf16(w.T), bias=None if bias is None else _np_bf16(bias),
+        n_out=n_out, k_in=k_in,
+    )
+
+
 def convert_hf_model(
     model_dir: str,
     out_dir: str,
@@ -167,19 +224,142 @@ def convert_hf_model(
     ignore: tuple[str, ...] = (),
     variant: str = "ramp",
     verbose: bool = True,
+    stats_out: dict | None = None,
 ) -> ModelConfig:
-    """Stream-convert an HF llama/mistral checkpoint to a packed-FP4 one."""
+    """Stream-convert an HF llama/mistral checkpoint to a packed-FP4 one.
+
+    Memory-bounded: tensors stream from the safetensors shards and each
+    weight GROUP (one decoder layer / embedding / lm_head) is quantized,
+    written to its npz, and freed as soon as its tensors have all arrived —
+    at no point is more than a few groups' worth of floats resident (the
+    reference instead re-quantizes the whole live model on every boot,
+    torch_bnb_fp4/__init__.py:781-922).  Group membership comes from the
+    shard key listings (read up front from the safetensors headers), so
+    optional biases are known before streaming starts.
+
+    ``stats_out`` (optional dict) receives {"peak_pending_bytes", "total_bytes",
+    "groups"} — tests assert the streaming bound with it.
+    """
+    from collections import defaultdict
+
+    from .checkpoint import CheckpointWriter, _ql_to_arrays
+
     cfg = config_from_hf(model_dir, quant_type=quant_type, variant=variant)
-    tensors: dict[str, np.ndarray] = {}
-    for name, arr in iter_hf_tensors(model_dir):
-        tensors[name] = arr
-        if verbose:
-            print(f"  read {name} {arr.shape}", flush=True)
-    params = quantize_hf_weights(
-        cfg, tensors, quantize_lm_head=quantize_lm_head, quant_type=quant_type,
-        ignore=ignore,
+
+    # --- plan groups from the shard headers (no tensor data read) ---
+    from safetensors import safe_open
+
+    files = sorted(
+        f for f in os.listdir(model_dir)
+        if f.endswith(".safetensors") and not f.startswith(".")
     )
-    save_checkpoint(out_dir, cfg, params)
+    if not files:
+        raise FileNotFoundError(f"no .safetensors files in {model_dir}")
+    all_keys: set[str] = set()
+    for fn in files:
+        with safe_open(os.path.join(model_dir, fn), framework="np") as f:
+            all_keys.update(f.keys())
+
+    def group_of(key: str) -> str:
+        if key.startswith("model.layers."):
+            return "layers." + key.split(".")[2]
+        if key == "model.embed_tokens.weight":
+            return "embed"
+        if key == "model.norm.weight":
+            return "final_norm"
+        if key.startswith("lm_head."):
+            return "lm_head"
+        return "_ignored"  # e.g. rotary inv_freq buffers in old checkpoints
+
+    need: dict[str, set[str]] = defaultdict(set)
+    for key in all_keys:
+        need[group_of(key)].add(key)
+    tied_lm = "lm_head.weight" not in all_keys  # lm_head reuses the embedding
+
+    def is_ignored(hf_name: str) -> bool:
+        return any(s in hf_name for s in ignore)
+
+    writer = CheckpointWriter(out_dir, cfg)
+
+    def flush_layer(i: int, t: dict[str, np.ndarray]) -> None:
+        p = f"model.layers.{i}."
+        arrays = {
+            f"layers.{i}.attn_norm": _np_bf16(t[p + "input_layernorm.weight"]),
+            f"layers.{i}.mlp_norm": _np_bf16(t[p + "post_attention_layernorm.weight"]),
+        }
+        meta: dict = {"kind": "layer", "linears": {}}
+        for f, suffix in _LINEAR_FIELDS.items():
+            w = t[p + suffix + ".weight"]
+            bias = t.get(p + suffix + ".bias")
+            if is_ignored(p + suffix):
+                q = _np_dense_linear(w, bias)
+            else:
+                q = _np_quant_linear(cfg, w, bias)
+            m = _ql_to_arrays(f"layers.{i}.{f}", q, arrays)
+            m["row_parallel"] = f in _ROW_PARALLEL
+            meta["linears"][f] = m
+        writer.put(f"layers.{i}", arrays, meta)
+
+    def flush_lm_head(w: np.ndarray, bias: np.ndarray | None) -> None:
+        if quantize_lm_head and not is_ignored("lm_head"):
+            arrays: dict = {}
+            meta = _ql_to_arrays("lm_head", _np_quant_linear(cfg, w, bias), arrays)
+            meta["row_parallel"] = False
+            writer.put("lm_head", arrays, meta)
+        else:
+            arrays = {"lm_head.w": _np_bf16(_to_f32(w).T)}
+            if bias is not None:
+                arrays["lm_head.bias"] = _np_bf16(bias)
+            writer.put("lm_head", arrays, {"kind": "dense"})
+
+    # --- stream ---
+    pending: dict[str, dict[str, np.ndarray]] = defaultdict(dict)
+    pending_bytes = 0
+    peak_pending = 0
+    total_bytes = 0
+    done: set[str] = set()
+
+    def flush(group: str) -> None:
+        nonlocal pending_bytes
+        t = pending.pop(group)
+        if group == "embed":
+            writer.put("embed", {"embed.w": _np_bf16(t["model.embed_tokens.weight"])},
+                       {"kind": "dense_embed"})
+            if tied_lm:
+                flush_lm_head(t["model.embed_tokens.weight"], None)
+        elif group == "final_norm":
+            writer.put("final_norm", {"final_norm.w": _np_bf16(t["model.norm.weight"])},
+                       {"kind": "norm"})
+        elif group == "lm_head":
+            flush_lm_head(t["lm_head.weight"], t.get("lm_head.bias"))
+        elif group.startswith("layers."):
+            flush_layer(int(group.split(".")[1]), t)
+        pending_bytes -= sum(a.nbytes for a in t.values())
+        done.add(group)
+        if verbose:
+            print(f"  wrote {group}", flush=True)
+
+    for name, arr in iter_hf_tensors(model_dir):
+        g = group_of(name)
+        if g == "_ignored":
+            continue
+        pending[g][name] = arr
+        pending_bytes += arr.nbytes
+        total_bytes += arr.nbytes
+        peak_pending = max(peak_pending, pending_bytes)
+        if set(pending[g]) == need[g]:
+            flush(g)
+
+    missing = {g: sorted(need[g] - set(pending.get(g, {})))
+               for g in need if g not in done and g != "_ignored"}
+    if any(missing.values()):
+        raise ValueError(f"checkpoint incomplete; missing tensors: {missing}")
+    writer.finish()
+    if stats_out is not None:
+        stats_out.update(peak_pending_bytes=peak_pending, total_bytes=total_bytes,
+                         groups=len(done))
     if verbose:
-        print(f"wrote packed checkpoint to {out_dir}", flush=True)
+        print(f"wrote packed checkpoint to {out_dir} "
+              f"(peak pending {peak_pending/2**20:.1f} MiB of {total_bytes/2**20:.1f} MiB total)",
+              flush=True)
     return cfg
