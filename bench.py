@@ -87,6 +87,55 @@ def time_decode(params, cfg, steps: int, prompt_len: int = 32, batch: int = 1, r
     return best / steps
 
 
+def measure_gemv_roofline(rtt: float) -> dict:
+    """Time the flagship GEMV kernel (4096x14336, Mistral up-proj shape) and
+    report achieved GB/s + fraction of the HBM roofline (north star:
+    roofline-bound kernels, BASELINE.json:5)."""
+    import numpy as np
+
+    from torch_bnb_fp4_tpu.ops import format as fmt
+    from torch_bnb_fp4_tpu.ops import kernels as K
+    from torch_bnb_fp4_tpu.utils.profiling import fp4_matmul_roofline
+
+    rng = np.random.default_rng(0)
+    k, n, rep = 4096, 14336, 400
+    w = (rng.standard_normal((n, k)) * 0.05).astype(np.float32)
+    pk, sc = map(jnp.asarray, fmt.pack_tpu_pairk(w, variant="ramp"))
+    x = jnp.asarray(rng.standard_normal((1, k)), jnp.bfloat16)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("reps",))
+    def run(x, pk, sc, reps):
+        def body(i, c):
+            x2 = (x.astype(jnp.float32) * (1.0 + c * 1e-30)).astype(x.dtype)
+            o = K.gemv_fp4_pk(x2, pk, sc, variant="ramp", interpret=False)
+            return c + o[0, 0].astype(jnp.float32) * 1e-30
+
+        return jax.lax.fori_loop(0, reps, body, 0.0)
+
+    float(run(x, pk, sc, rep))
+    float(run(x, pk, sc, 2 * rep))
+    # interleaved difference method: RTT and fixed overheads cancel exactly
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        float(run(x, pk, sc, rep))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(run(x, pk, sc, 2 * rep))
+        t2 = time.perf_counter() - t0
+        best = min(best, max(t2 - t1, 0.0))
+    t = best / rep
+    bytes_moved = pk.size + sc.size * 4 + x.size * 2 + n * 2
+    rf = fp4_matmul_roofline(1, k, n, achieved_s=t)
+    return dict(
+        gemv_us=round(t * 1e6, 1),
+        gemv_gbps=round(bytes_moved / t / 1e9, 1),
+        gemv_roofline_frac=round(rf["fraction_of_roofline"], 3),
+    )
+
+
 def measure_error_band() -> float:
     """Reference acceptance metric: mean |quantized_linear(x) - exact| with
     torch-default init (band 0.045-0.065, sanity_check.py:177-179)."""
@@ -153,12 +202,16 @@ def main():
 
     err = measure_error_band()
     log(f"dequant error band: {err:.4f} (reference gate 0.045-0.065)")
+    roof = measure_gemv_roofline(rtt)
+    log(f"gemv kernel: {roof['gemv_us']}us, {roof['gemv_gbps']} GB/s, "
+        f"{roof['gemv_roofline_frac']:.0%} of HBM roofline")
     print(json.dumps({
         "metric": f"{args.model}_fp4_decode_tok_s",
         "value": round(fp4_toks, 2),
         "unit": "tok/s",
         "vs_baseline": round(fp4_toks / bf16_toks, 3),
         "dequant_avg_abs_err": round(err, 4),
+        **roof,
     }), flush=True)
 
 

@@ -1,0 +1,101 @@
+"""Worker process for the 2-process multi-host test (run by
+tests/test_multihost.py, not collected by pytest).
+
+Each process owns 4 virtual CPU devices; `jax.distributed.initialize` joins
+them into one 8-device system over a local TCP coordinator — the same
+bring-up path a real multi-host TPU slice uses (parallel.init_multihost),
+with TCP standing in for DCN.  Both processes run the identical SPMD
+program: build the same tiny model, globalize the sharded params with
+jax.make_array_from_callback, run the shard_map'd TP forward, allgather the
+logits, and compare against the locally-computed single-device oracle.
+
+Usage: python multihost_worker.py <process_id> <num_processes> <coordinator>
+"""
+
+import os
+import sys
+
+pid, nproc, coord = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=coord, num_processes=nproc, process_id=pid)
+assert jax.process_index() == pid
+assert jax.device_count() == 4 * nproc, jax.device_count()
+assert len(jax.local_devices()) == 4
+
+import numpy as np
+import jax.numpy as jnp
+from jax.experimental import multihost_utils
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from torch_bnb_fp4_tpu.models import KVCache, ModelConfig, forward, quantize_params
+from torch_bnb_fp4_tpu.models import transformer as T
+from torch_bnb_fp4_tpu.parallel import (
+    DATA_AXIS,
+    cache_specs,
+    make_mesh,
+    param_specs,
+    tp_forward_fn,
+    validate_tp,
+)
+
+cfg = ModelConfig.tiny_test(n_layers=1)
+n_model, n_data = 4, nproc
+validate_tp(cfg, n_model)
+mesh = make_mesh(n_model=n_model, n_data=n_data)  # jax.devices() spans processes
+
+weights = T.random_weights(cfg, seed=21)
+params = quantize_params(cfg, weights)  # identical on every process (same seed)
+
+
+def globalize(tree, specs):
+    def put(x, spec):
+        x = np.asarray(jax.device_get(x))
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree, specs)
+
+
+gparams = globalize(params, param_specs(params))
+b, max_len, lp = n_data, 8, 3
+cache = KVCache.zeros(cfg, b, max_len)
+gcache = globalize(cache, cache_specs(cache))
+tokens = np.tile(np.asarray([[1, 2, 3]], np.int32), (b, 1))
+gtokens = globalize(tokens, P(DATA_AXIS, None))
+
+fwd = jax.jit(tp_forward_fn(gparams, cfg, gcache, mesh))
+logits, gcache2 = fwd(gparams, gtokens, gcache)
+full = multihost_utils.process_allgather(logits, tiled=True)
+lengths = multihost_utils.process_allgather(gcache2.length, tiled=True)
+
+# single-device oracle, computed locally by each process.  Tolerance matches
+# tests/test_parallel.py: bf16 hidden states pick up ~1-2 ulps of
+# XLA-reassociation noise per layer between the jitted shard_map body and the
+# eager oracle; logits amplify it via cancellation (ceiling ~0.02 abs).
+def close(got, want):
+    got, want = np.asarray(got), np.asarray(want)
+    assert np.abs(got - want).max() < 0.05, np.abs(got - want).max()
+    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.999
+
+
+want, _ = forward(params, cfg, jnp.asarray(tokens), KVCache.zeros(cfg, b, max_len))
+close(full, want)
+assert (np.asarray(lengths) == lp).all(), lengths
+
+# one decode step through the same program (cache carried across processes);
+# oracle continues the locally-computed single-device cache
+gtok1 = globalize(np.full((b, 1), 7, np.int32), P(DATA_AXIS, None))
+logits2, _ = fwd(gparams, gtok1, gcache2)
+full2 = multihost_utils.process_allgather(logits2, tiled=True)
+_, oc = forward(params, cfg, jnp.asarray(tokens), KVCache.zeros(cfg, b, max_len))
+want2, _ = forward(params, cfg, jnp.full((b, 1), 7, jnp.int32), oc)
+close(full2, want2)
+
+print(f"MULTIHOST_OK pid={pid} devices={jax.device_count()} "
+      f"mesh=data{n_data}xmodel{n_model}", flush=True)

@@ -79,3 +79,64 @@ def test_prompt_too_long_rejected(params):
     eng = Engine(params, CFG, EngineConfig(max_batch=1, max_len=8))
     with pytest.raises(ValueError):
         eng.submit(Request(uid=1, prompt=list(range(9)), max_new_tokens=1))
+
+
+def test_inner_scan_amortizes_host_fetches(params):
+    """inner_steps=4 decodes 4 tokens per host round-trip: the output still
+    matches the oracle and the engine ticks ~n/4 times."""
+    eng = Engine(params, CFG, EngineConfig(max_batch=2, max_len=64, inner_steps=4))
+    ticks = 0
+    eng.submit(Request(uid=1, prompt=[5, 6, 7], max_new_tokens=12))
+    while eng.pending or any(r is not None for r in eng.slot_req):
+        if eng.step() == 0 and not eng.pending:
+            break
+        ticks += 1
+    res = {c.uid: c for c in eng.completions}
+    assert res[1].tokens == _oracle(params, [5, 6, 7], 12)
+    assert ticks <= 4  # 12 tokens / 4 per tick (+1 spare)
+
+
+def test_idle_slot_length_stays_bounded(params):
+    """An empty slot's cache length is reset each tick — it never creeps
+    toward max_len while other slots decode (round-1 relied on
+    dynamic_update_slice clamping, an untested invariant)."""
+    eng = Engine(params, CFG, EngineConfig(max_batch=4, max_len=16, inner_steps=2))
+    eng.submit(Request(uid=1, prompt=[1, 2], max_new_tokens=12))
+    total = 0
+    while eng.pending or any(r is not None for r in eng.slot_req):
+        if eng.step() == 0 and not eng.pending:
+            break
+        total += 1
+        lengths = np.asarray(eng.cache.length)
+        assert (lengths[1:] <= eng.ecfg.inner_steps).all(), lengths
+    assert total > 2
+
+
+def test_near_capacity_prompt_with_unaligned_max_len(params):
+    """max_len=35 (not a multiple of 32) + a 33-token prompt: round-1 would
+    pad the prompt to 64 > max_len and fail at trace time."""
+    eng = Engine(params, CFG, EngineConfig(max_batch=1, max_len=35))
+    res = eng.run([Request(uid=1, prompt=list(range(1, 34)), max_new_tokens=8)])
+    assert res[1].finish_reason == "length"
+    assert 1 <= len(res[1].tokens) <= 2  # capacity allows at most 2 tokens
+    assert res[1].tokens == _oracle(params, list(range(1, 34)), len(res[1].tokens))
+
+
+def test_engine_on_data_model_mesh(params):
+    """data=2 x model=2 mesh engine matches the single-device oracle: decode
+    slots shard over data, per-request prefill runs replicated (round-1
+    asserted data==1)."""
+    from torch_bnb_fp4_tpu.parallel import make_mesh, shard_params, validate_tp
+
+    validate_tp(CFG, 2)
+    mesh = make_mesh(n_model=2, n_data=2)
+    sparams = shard_params(params, mesh)
+    eng = Engine(sparams, CFG, EngineConfig(max_batch=4, max_len=32, inner_steps=2), mesh=mesh)
+    reqs = [
+        Request(uid=1, prompt=[1, 2, 3], max_new_tokens=5),
+        Request(uid=2, prompt=[4, 5], max_new_tokens=6),
+        Request(uid=3, prompt=[6, 7, 8, 9], max_new_tokens=4),
+    ]
+    res = eng.run(reqs)
+    for r in reqs:
+        assert res[r.uid].tokens == _oracle(params, r.prompt, r.max_new_tokens), r.uid

@@ -138,13 +138,22 @@ def quantize_linear(
     "exact" (convert/bnb.py).
     """
     w = np.asarray(w, dtype=np.float32)
+    if w.ndim != 2:
+        raise ValueError(f"quantize_linear expects a 2-D (n_out, k_in) weight, got shape {w.shape}")
     n_out, k_in = w.shape
+    if quant_type not in ("fp4", "nf4"):
+        raise ValueError(f"quant_type must be 'fp4' or 'nf4', got {quant_type!r}")
     if layout is None:
         layout = "pairk" if quant_type == "fp4" and k_shards == 1 else "splitk"
-    assert layout in ("pairk", "splitk")
+    if layout not in ("pairk", "splitk"):
+        raise ValueError(f"layout must be 'pairk' or 'splitk', got {layout!r}")
     if layout == "pairk":
-        assert quant_type == "fp4", "pairk layout is FP4-only (use splitk for nf4)"
-        assert k_shards == 1, "pairk shards contiguously; k_shards not needed"
+        if quant_type != "fp4":
+            raise ValueError("pairk layout is FP4-only (use layout='splitk' for nf4)")
+        if k_shards != 1:
+            raise ValueError("pairk shards contiguously in both dims; k_shards applies to splitk only")
+        if variant not in fmt.PAIRK_VARIANTS:
+            raise ValueError(f"variant must be one of {fmt.PAIRK_VARIANTS}, got {variant!r}")
     code = fmt.FP4_CODE if quant_type == "fp4" else fmt.NF4_CODE
     # pad K per shard to the kernel quantum when unsharded; sharded layers are
     # required to be pre-aligned (real model dims are) so shards stay equal
@@ -233,7 +242,11 @@ def apply_linear(q: QuantLinear, x: jax.Array, *, block_m: int = 256, out_dtype=
     __init__.py:560-618): one total row -> GEMV fast path, else fused GEMM.
     """
     *lead, k = x.shape
-    assert k == q.k_in, (x.shape, q.k_in)
+    if k != q.k_in:
+        raise ValueError(
+            f"input feature dim {k} does not match layer k_in={q.k_in} "
+            f"(x.shape={x.shape}, layer {q.n_out}x{q.k_in})"
+        )
     m = int(np.prod(lead)) if lead else 1
     if m == 0:
         # zero-element early-out (reference QuantData.forward, __init__.py:580-589)

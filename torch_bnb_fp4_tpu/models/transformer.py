@@ -306,6 +306,7 @@ def forward(
     cache: KVCache,
     positions: jax.Array | None = None,  # (B, L); default arange from cache.length
     last_only: bool = False,  # lm_head only on the final position (prefill)
+    last_index: jax.Array | None = None,  # lm_head only on position last_index
 ) -> tuple[jax.Array, KVCache]:
     """Run L tokens through the model, appending to the cache.
 
@@ -331,7 +332,12 @@ def forward(
         ks.append(kc)
         vs.append(vc)
     x = rms_norm(x, params.final_norm, cfg.rms_eps)
-    if last_only:
+    if last_index is not None:
+        # lm_head on ONE dynamic position (bucketed-padded prefill: the real
+        # last token sits at true_len-1, not at -1) — at 32k vocab computing
+        # all L rows of logits is L x the needed work
+        x = jax.lax.dynamic_slice_in_dim(x, last_index, 1, axis=1)
+    elif last_only:
         x = x[:, -1:]
     if isinstance(params.lm_head, (QuantLinear, DenseLinear)):
         logits = params.lm_head(x, out_dtype=jnp.float32)

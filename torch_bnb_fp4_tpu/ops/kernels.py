@@ -64,9 +64,16 @@ def _split_absmax(absmax, kp: int, blocksize: int, n: int):
     if isinstance(absmax, (tuple, list)):
         shi, slo = absmax
     else:
-        assert absmax.shape == (2 * rows, n), (absmax.shape, rows, n)
+        if absmax.shape != (2 * rows, n):
+            raise ValueError(
+                f"absmax must be (K/blocksize, N) = {(2 * rows, n)} for blocksize={blocksize}, "
+                f"got {absmax.shape}"
+            )
         shi, slo = absmax[:rows], absmax[rows:]
-    assert shi.shape == (rows, n) and slo.shape == (rows, n), (shi.shape, slo.shape)
+    if shi.shape != (rows, n) or slo.shape != (rows, n):
+        raise ValueError(
+            f"absmax halves must each be {(rows, n)}, got {shi.shape} and {slo.shape}"
+        )
     return shi, slo
 
 
@@ -323,17 +330,24 @@ def matmul_fp4(
 ) -> jax.Array:
     """Fused dequant-matmul: y[M, N] = x[M, K] @ dequant(packed)[K, N] + bias.
 
-    The packed weight never materializes in HBM.  ``x`` may be f32 or bf16
-    (f16 inputs are computed in f32 — TPUs have no native f16 MXU path).
+    The packed weight never materializes in HBM.  ``x`` may be f32, bf16,
+    or f16.  TPUs have no f16 MXU path, so f16 inputs COMPUTE IN BF16 (8-bit
+    mantissa->8-bit exponent trade; output is cast back to f16).  This is an
+    explicit, tested contract (tests/test_kernels.py::test_f16_computes_in_
+    bf16) — the reference ships a dedicated f16 GEMV because CUDA has native
+    f16 (gemv_fp4_optimized.cu:60); on TPU bf16 is the native 16-bit type.
     Accumulation is always f32 (reference accumulates f32 too:
     gemv_fp4_optimized.cu:144, cuBLAS default).
     """
     if interpret is None:
         interpret = _interpret_default()
+    if packed.ndim != 2 or packed.dtype != jnp.uint8:
+        raise ValueError(f"packed must be 2-D uint8 (K/2, N), got {packed.shape} {packed.dtype}")
     kp, n = packed.shape
     k = 2 * kp
+    if x.ndim != 2 or x.shape[1] != k:
+        raise ValueError(f"x must be (M, K={k}) for packed (K/2={kp}, N={n}), got {x.shape}")
     m = x.shape[0]
-    assert x.shape == (m, k), (x.shape, k)
     shi, slo = _split_absmax(absmax, kp, blocksize, n)
     if decode_impl is None:
         # arith decode measured fastest in the MXU-fused kernel on v5e;
@@ -620,16 +634,25 @@ def matmul_fp4_pk(
     (ops/format.pack_tpu_pairk + PAIRK_MAGS192 — must match the pack).
     ``block_k`` None = auto: 512 for the decode/GEMV-shaped m-outer path,
     1024 for the m-inner GEMM path (both measured best on v5e).
+    ``x`` may be f32, bf16, or f16 — f16 computes in bf16 (see matmul_fp4's
+    dtype contract), f32 uses full-precision dots.
     """
     if variant not in fmt.PAIRK_VARIANTS:
         raise ValueError(f"unknown pairk variant {variant!r}; expected one of {fmt.PAIRK_VARIANTS}")
     if interpret is None:
         interpret = _interpret_default()
+    if packed.ndim != 2 or packed.dtype != jnp.uint8:
+        raise ValueError(f"packed must be 2-D uint8 (K/2, N), got {packed.shape} {packed.dtype}")
     kp, n = packed.shape
     k = 2 * kp
+    if x.ndim != 2 or x.shape[1] != k:
+        raise ValueError(f"x must be (M, K={k}) for packed (K/2={kp}, N={n}), got {x.shape}")
     m = x.shape[0]
-    assert x.shape == (m, k), (x.shape, k)
-    assert scale.shape == (k // blocksize, n), (scale.shape, k, n)
+    if scale.shape != (k // blocksize, n):
+        raise ValueError(
+            f"scale must be (K/blocksize, N) = {(k // blocksize, n)} for blocksize={blocksize}, "
+            f"got {scale.shape}"
+        )
     if out_dtype is None:
         out_dtype = x.dtype
     compute_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
@@ -730,7 +753,8 @@ def gemv_fp4_pk(x, packed, scale, bias=None, *, blocksize=64, out_dtype=None, bl
     """Batch-1 pair-K decode fast path (v5e sweet spot: block_k 512, widest N
     block that fits).  Measured 4096x14336 vs 153.5us bf16 matvec: 93.5us
     exact / 73.7us zramp / 50.7us ramp (see _decode_pairs)."""
-    assert x.shape[0] == 1
+    if x.shape[0] != 1:
+        raise ValueError(f"gemv_fp4_pk is the batch-1 fast path; got x.shape={x.shape} (use matmul_fp4_pk)")
     return matmul_fp4_pk(
         x, packed, scale, bias,
         blocksize=blocksize, out_dtype=out_dtype,

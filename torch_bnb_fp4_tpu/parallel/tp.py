@@ -150,11 +150,16 @@ def param_specs(params: T.ModelParams) -> T.ModelParams:
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
-def cache_specs(cache: T.KVCache) -> T.KVCache:
+def cache_specs(cache: T.KVCache, data_sharded: bool = True) -> T.KVCache:
+    """``data_sharded=False`` gives batch-replicated specs — used for the
+    engine's batch-1 prefill program, which every data replica computes
+    identically (prefill is rare; decode is the data-sharded hot loop)."""
+    batch = DATA_AXIS if data_sharded else None
+
     def spec(path, leaf):
         if leaf.ndim == 4:
-            return P(DATA_AXIS, None, MODEL_AXIS, None)
-        return P(DATA_AXIS)  # per-sequence lengths (B,)
+            return P(batch, None, MODEL_AXIS, None)
+        return P(batch)  # per-sequence lengths (B,)
 
     return jax.tree_util.tree_map_with_path(spec, cache)
 
@@ -213,8 +218,10 @@ def _localize_params(params: T.ModelParams, cfg: T.ModelConfig, tp: int) -> T.Mo
     )
 
 
-def _tp_body(params, tokens, cache, cfg: T.ModelConfig, tp: int):
-    """Per-device forward: tokens (b_loc, L) -> (logits (b_loc, L, V/tp), cache)."""
+def _tp_body(params, tokens, cache, last_index, cfg: T.ModelConfig, tp: int):
+    """Per-device forward: tokens (b_loc, L) -> (logits (b_loc, L, V/tp), cache).
+    ``last_index`` None -> logits for all L positions; else a scalar position
+    p -> logits only for position p (prefill lm_head economy)."""
     params = _localize_params(params, cfg, tp)
     b, l = tokens.shape
     max_len = cache.max_len
@@ -232,6 +239,8 @@ def _tp_body(params, tokens, cache, cfg: T.ModelConfig, tp: int):
         ks.append(kc)
         vs.append(vc)
     x = T.rms_norm(x, params.final_norm, cfg.rms_eps)
+    if last_index is not None:
+        x = jax.lax.dynamic_slice_in_dim(x, last_index, 1, axis=1)
     if isinstance(params.lm_head, (QuantLinear, DenseLinear)):
         logits = params.lm_head(x, out_dtype=jnp.float32)
     else:
@@ -239,22 +248,38 @@ def _tp_body(params, tokens, cache, cfg: T.ModelConfig, tp: int):
     return logits, T.KVCache(k=ks, v=vs, length=new_len)
 
 
-def tp_forward_fn(params: T.ModelParams, cfg: T.ModelConfig, cache: T.KVCache, mesh: Mesh):
+def tp_forward_fn(params: T.ModelParams, cfg: T.ModelConfig, cache: T.KVCache, mesh: Mesh,
+                  data_sharded: bool = True, with_last_index: bool = False):
     """Build the shard_map'd forward for this param/cache structure.
 
     Returned fn: (params, tokens (B, L), cache) -> (logits (B, L, V) sharded
     P(data, None, model), new cache).  Jit-compatible.
+
+    ``data_sharded=False`` replicates the batch over the data axis (the
+    engine's per-request prefill program).  ``with_last_index=True`` adds a
+    trailing scalar arg: the one position to run lm_head on.
     """
     tp = mesh.shape[MODEL_AXIS]
     pspecs = param_specs(params)
-    cspecs = cache_specs(cache)
-    return shard_map(
-        partial(_tp_body, cfg=cfg, tp=tp),
+    cspecs = cache_specs(cache, data_sharded=data_sharded)
+    batch = DATA_AXIS if data_sharded else None
+    if with_last_index:
+        fn = shard_map(
+            partial(_tp_body, cfg=cfg, tp=tp),
+            mesh=mesh,
+            in_specs=(pspecs, P(batch, None), cspecs, P()),
+            out_specs=(P(batch, None, MODEL_AXIS), cspecs),
+            check_vma=False,
+        )
+        return fn
+    fn = shard_map(
+        lambda p, t, c: _tp_body(p, t, c, None, cfg=cfg, tp=tp),
         mesh=mesh,
-        in_specs=(pspecs, P(DATA_AXIS, None), cspecs),
-        out_specs=(P(DATA_AXIS, None, MODEL_AXIS), cspecs),
+        in_specs=(pspecs, P(batch, None), cspecs),
+        out_specs=(P(batch, None, MODEL_AXIS), cspecs),
         check_vma=False,
     )
+    return fn
 
 
 def make_decode_step(params: T.ModelParams, cfg: T.ModelConfig, cache: T.KVCache, mesh: Mesh):

@@ -55,6 +55,11 @@ class Completion:
 class EngineConfig:
     max_batch: int = 8  # decode slots
     max_len: int = 2048  # per-slot KV capacity
+    # decode steps per host round-trip: the batched decode runs as an inner
+    # lax.scan of up to this many steps per tick, so per-token host overhead
+    # (30ms+ RTT on a tunneled chip; ~100us co-located) amortizes >= 8x.
+    # Bucketed to powers of two (one trace per bucket).
+    inner_steps: int = 8
     # sampling: temperature 0 = greedy; top_k limits candidates (0 = off)
     temperature: float = 0.0
     top_k: int = 0
@@ -78,13 +83,24 @@ class Engine:
         if mesh is not None:
             from ..parallel import DATA_AXIS, shard_cache, tp_forward_fn
 
-            # one engine per data replica: prefill is batch-1, so the decode
-            # batch can't also be sharded over a data axis inside this engine
-            assert mesh.shape[DATA_AXIS] == 1, "serve engine wants a model-only mesh"
+            # decode slots shard over the data axis (B rows split across
+            # replicas); per-request prefill is batch-1 and runs replicated
+            # over data — every replica computes the same KV, and the splice
+            # into the slot's (data-sharded) cache region lands on the owning
+            # replica under GSPMD.  Prefill is rare; decode is the hot loop.
+            if b % mesh.shape[DATA_AXIS] != 0:
+                raise ValueError(
+                    f"max_batch {b} must divide over data axis {mesh.shape[DATA_AXIS]}"
+                )
             cache = shard_cache(cache, mesh)
             self._fwd = tp_forward_fn(params, cfg, cache, mesh)
+            self._fwd_prefill = tp_forward_fn(
+                params, cfg, T.KVCache.zeros(cfg, 1, 32), mesh,
+                data_sharded=False, with_last_index=True,
+            )
         else:
             self._fwd = lambda p, t, c: T.forward(p, cfg, t, c)
+            self._fwd_prefill = lambda p, t, c, li: T.forward(p, cfg, t, c, last_index=li)
         self.cache = cache
 
         # host-side slot state
@@ -97,7 +113,7 @@ class Engine:
         self._tokens_out = 0
         self._t0 = time.perf_counter()
 
-        self._decode = jax.jit(self._decode_fn)
+        self._decode = jax.jit(self._decode_fn, static_argnames=("n",))
         self._prefill = jax.jit(self._prefill_fn)
         self._key = jax.random.PRNGKey(ecfg.seed)
 
@@ -117,24 +133,41 @@ class Engine:
             logits = jnp.where(logits < kth, -jnp.inf, logits)
         return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
-    def _decode_fn(self, params, tokens, cache, key):
-        logits, cache = self._fwd(params, tokens[:, None], cache)
-        return self._select(logits[:, -1], key), cache
+    def _decode_fn(self, params, tokens, cache, active, key, *, n):
+        """``n`` batched decode steps in ONE program (inner lax.scan): n
+        tokens per slot per host round-trip.  ``active`` (B,) bool: inactive
+        slots have their cache length reset to 0 first, so an idle slot's
+        write offset never creeps toward max_len (their decoded tokens are
+        garbage the host ignores).  Returns ((B, n) tokens, cache)."""
+        cache = T.KVCache(
+            k=cache.k, v=cache.v,
+            length=jnp.where(active, cache.length, 0),
+        )
+
+        def body(carry, k):
+            tok, cache = carry
+            logits, cache = self._fwd(params, tok[:, None], cache)
+            nxt = self._select(logits[:, -1], k)
+            return (nxt, cache), nxt
+
+        (_, cache), toks = jax.lax.scan(body, (tokens, cache), jax.random.split(key, n))
+        return toks.T, cache
 
     def _prefill_fn(self, params, tokens, cache, slot, true_len, key):
         """Run batch-1 prefill (length-bucketed padding) and splice its KV
         rows into ``slot``.  ``tokens`` (1, Lp_pad); rows past ``true_len``
-        are garbage but masked forever by kv_valid (< length)."""
+        are garbage but masked forever by kv_valid (< length).  lm_head runs
+        on the single true-last position only (at 32k vocab, full-prompt
+        logits are Lp x the needed work)."""
         lp_pad = tokens.shape[1]
         small = T.KVCache.zeros(self.cfg, 1, lp_pad)
-        logits, small = self._fwd(params, tokens, small)
+        logits, small = self._fwd_prefill(params, tokens, small, true_len - 1)
         ks, vs = [], []
         for i in range(self.cfg.n_layers):
             ks.append(jax.lax.dynamic_update_slice(cache.k[i], small.k[i], (slot, 0, 0, 0)))
             vs.append(jax.lax.dynamic_update_slice(cache.v[i], small.v[i], (slot, 0, 0, 0)))
         length = cache.length.at[slot].set(true_len)
-        last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1, axis=0, keepdims=False)
-        first = self._select(last[None, :], key)[0]
+        first = self._select(logits[:, -1], key)[0]
         return first, T.KVCache(k=ks, v=vs, length=length)
 
     # -- host API ----------------------------------------------------------
@@ -153,7 +186,10 @@ class Engine:
                 break
             req = self.pending.popleft()
             lp = len(req.prompt)
-            lp_pad = (lp + 31) // 32 * 32  # bucket: one trace per 32-length bucket
+            # bucket: one trace per 32-length bucket, clamped so a
+            # near-capacity prompt can't pad past the cache (max_len need not
+            # be a multiple of 32)
+            lp_pad = min((lp + 31) // 32 * 32, self.ecfg.max_len)
             padded = np.zeros((1, lp_pad), np.int32)
             padded[0, :lp] = req.prompt
             first, self.cache = self._prefill(
@@ -194,14 +230,35 @@ class Engine:
         if not active:
             return 0
 
-        tokens = jnp.asarray(self.slot_cur.astype(np.int32))
-        nxt, self.cache = self._decode(self.params, tokens, self.cache, self._next_key())
-        nxt = np.asarray(nxt)
+        # inner-scan depth: as many steps as every active slot can take
+        # without passing its token budget or cache capacity, bucketed to a
+        # power of two (one compiled program per bucket)
+        budget = self.ecfg.inner_steps
         for i in active:
-            self.slot_tokens[i].append(int(nxt[i]))
-            self.slot_cur[i] = int(nxt[i])
-            self._tokens_out += 1
-        self._steps += 1
+            req = self.slot_req[i]
+            done = len(self.slot_tokens[i])
+            budget = min(budget, req.max_new_tokens - done,
+                         self.ecfg.max_len - (len(req.prompt) + done))
+        n = 1
+        while 2 * n <= budget:
+            n *= 2
+
+        tokens = jnp.asarray(self.slot_cur.astype(np.int32))
+        mask = np.zeros(self.ecfg.max_batch, bool)
+        mask[active] = True
+        toks, self.cache = self._decode(
+            self.params, tokens, self.cache, jnp.asarray(mask), self._next_key(), n=n,
+        )
+        toks = np.asarray(toks)
+        for i in active:
+            req = self.slot_req[i]
+            for t in toks[i]:
+                self.slot_tokens[i].append(int(t))
+                self._tokens_out += 1
+                if req.eos_id is not None and int(t) == req.eos_id:
+                    break  # tokens decoded past EOS inside the scan are dropped
+            self.slot_cur[i] = self.slot_tokens[i][-1]
+        self._steps += n
         return len(active)
 
     def stats(self) -> dict:
