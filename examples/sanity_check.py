@@ -35,14 +35,14 @@ class MLP:
 
     GEOM = [(768, 2048), (2048, 2048), (2048, 2048), (2048, 2048), (2048, 2048), (2048, 128)]
 
-    def __init__(self, rng, quantized: bool):
+    def __init__(self, rng, quantized: bool, dtype=jnp.float32):
         self.layers = []
         for k_in, n_out in self.GEOM:
             bound = 1.0 / np.sqrt(k_in)
             w = rng.uniform(-bound, bound, (n_out, k_in)).astype(np.float32)
             b = rng.uniform(-bound, bound, n_out).astype(np.float32)
             self.layers.append(
-                quantize_linear(w, b) if quantized else dense_linear(w, b, dtype=jnp.float32)
+                quantize_linear(w, b) if quantized else dense_linear(w, b, dtype=dtype)
             )
 
     def __call__(self, x):
@@ -82,18 +82,52 @@ def _time(fn, *args, rep=100):
     return (time.perf_counter() - t0) / rep
 
 
+class BnbStyleMLP:
+    """The same quantized MLP computed the way bitsandbytes' GEMM path does
+    (reference QuantData._dequant_linear, __init__.py:423-436): dequantize
+    the FULL weight to a temp tensor in HBM, then a dense matmul — the
+    three-way comparison column the reference's sanity_check prints
+    (pytorch / bnb / lib, sanity_check.py:80-99)."""
+
+    def __init__(self, quant: "MLP"):
+        self.layers = quant.layers
+
+    def __call__(self, x):
+        from torch_bnb_fp4_tpu.models import dequantize_weight
+
+        for lin in self.layers:
+            wt = dequantize_weight(lin, out_dtype=x.dtype).T  # (k, n) in HBM
+            y = jnp.dot(x, wt, preferred_element_type=jnp.float32)
+            if lin.bias is not None:
+                y = y + lin.bias.astype(jnp.float32)
+            x = y.astype(x.dtype)
+        return x
+
+
 def check_speed(rng):
-    dense = MLP(rng, quantized=False)
+    """Three-way table per dtype (reference sanity_check.py:80-122 prints
+    pytorch/bnb/lib for fp32, fp16, bf16).  Here: dense XLA matmul /
+    bnb-style (dequant-to-HBM + dense matmul, the reference's GEMM strategy)
+    / our fused kernel.  bf16 is the serving path; the f32 fused path trades
+    speed for HIGHEST-precision dots (reference parity: true-fp32 cuBLAS)."""
     quant = MLP(rng, quantized=True)
-    rows = []
-    for mode, m in (("gemv", 1), ("gemm", 256)):
-        x = jnp.asarray(rng.standard_normal((m, 768)), jnp.float32)
-        td = _time(lambda x: dense(x), x)
-        tq = _time(lambda x: quant(x), x)
-        rows.append((mode, td * 1e6, tq * 1e6))
-    print(f"\n  {'mode':<6} {'dense f32 us':>14} {'fp4 us':>10} {'ratio':>7}")
-    for mode, td, tq in rows:
-        print(f"  {mode:<6} {td:>14.1f} {tq:>10.1f} {td / tq:>7.2f}x")
+    bnb_style = BnbStyleMLP(quant)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        dense = MLP(rng, quantized=False, dtype=dtype)
+        rows = []
+        for mode, m in (("gemv", 1), ("gemm", 256)):
+            x = jnp.asarray(rng.standard_normal((m, 768)), dtype)
+            td = _time(lambda x: dense(x), x)
+            tb = _time(lambda x: bnb_style(x), x)
+            tq = _time(lambda x: quant(x), x)
+            rows.append((mode, td * 1e6, tb * 1e6, tq * 1e6))
+        nm = jnp.dtype(dtype).name
+        print(f"\n  [{nm}]")
+        print(f"  {'mode':<6} {'dense us':>12} {'bnb-style us':>14} {'fp4 fused us':>14} "
+              f"{'vs dense':>9} {'vs bnb':>8}")
+        for mode, td, tb, tq in rows:
+            print(f"  {mode:<6} {td:>12.1f} {tb:>14.1f} {tq:>14.1f} "
+                  f"{td / tq:>8.2f}x {tb / tq:>7.2f}x")
 
 
 def main():

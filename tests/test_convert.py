@@ -292,3 +292,63 @@ def test_streaming_convert_rejects_incomplete(tmp_path):
     _write_hf_checkpoint(tmp_path / "hf", cfg, weights)
     with pytest.raises((ValueError, KeyError), match="layers.1|missing"):
         convert_hf_model(str(tmp_path / "hf"), str(tmp_path / "out"), verbose=False)
+
+
+def test_real_checkpoint_full_user_path(tmp_path):
+    """The reference's flagship demo path (speed_test_mistral_7b.py:99-130),
+    end to end on a fabricated multi-shard HF checkpoint: convert CLI ->
+    load_checkpoint(tp=4, fuse=True) -> sharded Engine serving -> compare
+    against the bf16 twin built from the same floats (twin-model oracle,
+    sanity_check.py:130-171 pattern)."""
+    import sys
+
+    from torch_bnb_fp4_tpu.models import dense_params, generate
+    from torch_bnb_fp4_tpu.parallel import make_mesh, shard_params
+    from torch_bnb_fp4_tpu.serve import Engine, EngineConfig, Request
+
+    cfg0 = T.ModelConfig.tiny_test(n_layers=2)
+    weights = T.random_weights(cfg0, seed=17)
+    _write_hf_checkpoint_sharded(tmp_path / "hf", cfg0, weights, n_shards=3)
+
+    # the actual CLI entry point
+    from torch_bnb_fp4_tpu.convert.__main__ import main as cli_main
+
+    argv = sys.argv
+    sys.argv = ["convert", str(tmp_path / "hf"), str(tmp_path / "out")]
+    try:
+        cli_main()
+    finally:
+        sys.argv = argv
+
+    cfg, params = load_checkpoint(str(tmp_path / "out"), tp=4, fuse=True)
+    assert params.layers[0].wqkv is not None  # fused for tp=4
+    mesh = make_mesh(n_model=4, n_data=1)
+    sparams = shard_params(params, mesh)
+    eng = Engine(sparams, cfg, EngineConfig(max_batch=2, max_len=32, inner_steps=2), mesh=mesh)
+    prompts = [[3, 1, 4], [1, 5, 9, 2]]
+    res = eng.run([
+        Request(uid=1, prompt=prompts[0], max_new_tokens=5),
+        Request(uid=2, prompt=prompts[1], max_new_tokens=5),
+    ])
+
+    # bf16 twin from the same floats, same forward code (greedy oracle)
+    twin = dense_params(cfg0, weights)
+    for uid, prompt in ((1, prompts[0]), (2, prompts[1])):
+        got = res[uid].tokens
+        want = np.asarray(
+            generate(twin, cfg0, jnp.asarray([prompt], jnp.int32), max_new_tokens=5)
+        )[0].tolist()
+        # quantized vs bf16 twin: tokens may legitimately diverge once the
+        # FP4 error flips a near-tie, but the FIRST token of random-weight
+        # logits is far from ties in this fixture and must agree; later
+        # tokens agree on a common prefix
+        assert got[0] == want[0], (got, want)
+    # and the quantized TP engine agrees with the single-device generate of
+    # the SAME checkpoint loaded at tp=1 (tp=4-fused params interleave
+    # columns per shard and are only valid column-sharded across 4 devices)
+    cfg1, params1 = load_checkpoint(str(tmp_path / "out"), tp=1, fuse=True)
+    for uid, prompt in ((1, prompts[0]), (2, prompts[1])):
+        want_q = np.asarray(
+            generate(params1, cfg1, jnp.asarray([prompt], jnp.int32), max_new_tokens=5)
+        )[0].tolist()
+        assert res[uid].tokens == want_q, (uid, res[uid].tokens, want_q)

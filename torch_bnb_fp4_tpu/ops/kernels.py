@@ -668,6 +668,14 @@ def matmul_fp4_pk(
         block_m = m
     else:
         block_m = min(block_m, min_m * pl.cdiv(m, min_m))
+        if compute_dtype == jnp.bfloat16 and m > 8 * min_m and block_m >= m:
+            # a single M block would force the m-outer path (64-deep
+            # per-quant-block dots, ~50% MXU): split M so the decode-once
+            # m-inner kernel engages (M=256 @ 4096x14336: 304us vs single-
+            # block m-outer ~330us).  bf16 only: the f32 path's HIGHEST-
+            # precision dots make the m-inner full-depth dots slower, not
+            # faster (measured 1.6x worse on the f32 sanity MLP).
+            block_m = min_m * pl.cdiv(pl.cdiv(m, 2), min_m)
     # no explicit M padding: Pallas masks partial edge blocks (an extra
     # jnp.pad + output slice costs ~12us per call on v5e)
     mp = m
