@@ -157,12 +157,17 @@ def measure_error_band() -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="mistral7b", choices=["mistral7b", "tinyllama", "tiny"])
-    ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="decode steps per timing run; default scales with "
+                    "model size so the step total dwarfs tunnel RTT noise "
+                    "(16 / 64 / 256 for mistral7b / tinyllama / tiny)")
     ap.add_argument("--prompt-len", type=int, default=32)
     ap.add_argument("--bf16-lm-head", action="store_true",
                     help="keep lm_head bf16 in the FP4 model (reference parity mode; "
                     "default quantizes it — this is an FP4 engine)")
     args = ap.parse_args()
+    if args.steps is None:
+        args.steps = {"mistral7b": 16, "tinyllama": 64, "tiny": 256}[args.model]
 
     import dataclasses
 
