@@ -87,7 +87,7 @@ def time_decode(params, cfg, steps: int, prompt_len: int = 32, batch: int = 1, r
     return best / steps
 
 
-def measure_gemv_roofline(rtt: float) -> dict:
+def measure_gemv_roofline() -> dict:
     """Time the flagship GEMV kernel (4096x14336, Mistral up-proj shape) and
     report achieved GB/s + fraction of the HBM roofline (north star:
     roofline-bound kernels, BASELINE.json:5)."""
@@ -116,8 +116,11 @@ def measure_gemv_roofline(rtt: float) -> dict:
 
     float(run(x, pk, sc, rep))
     float(run(x, pk, sc, 2 * rep))
-    # interleaved difference method: RTT and fixed overheads cancel exactly
-    best = float("inf")
+    # interleaved difference method: RTT and fixed overheads cancel exactly.
+    # Keep only POSITIVE differences (a jitter spike on the short run can
+    # make t2-t1 <= 0; clamping such a round into a running min would
+    # propagate t=0 into the roofline division).
+    diffs = []
     for _ in range(4):
         t0 = time.perf_counter()
         float(run(x, pk, sc, rep))
@@ -125,8 +128,11 @@ def measure_gemv_roofline(rtt: float) -> dict:
         t0 = time.perf_counter()
         float(run(x, pk, sc, 2 * rep))
         t2 = time.perf_counter() - t0
-        best = min(best, max(t2 - t1, 0.0))
-    t = best / rep
+        if t2 - t1 > 0:
+            diffs.append(t2 - t1)
+    if not diffs:  # hopeless jitter: report nothing rather than nonsense
+        return {}
+    t = min(diffs) / rep
     bytes_moved = pk.size + sc.size * 4 + x.size * 2 + n * 2
     rf = fp4_matmul_roofline(1, k, n, achieved_s=t)
     return dict(
@@ -207,9 +213,10 @@ def main():
 
     err = measure_error_band()
     log(f"dequant error band: {err:.4f} (reference gate 0.045-0.065)")
-    roof = measure_gemv_roofline(rtt)
-    log(f"gemv kernel: {roof['gemv_us']}us, {roof['gemv_gbps']} GB/s, "
-        f"{roof['gemv_roofline_frac']:.0%} of HBM roofline")
+    roof = measure_gemv_roofline()
+    if roof:
+        log(f"gemv kernel: {roof['gemv_us']}us, {roof['gemv_gbps']} GB/s, "
+            f"{roof['gemv_roofline_frac']:.0%} of HBM roofline")
     print(json.dumps({
         "metric": f"{args.model}_fp4_decode_tok_s",
         "value": round(fp4_toks, 2),

@@ -31,6 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 sys.path.insert(0, ".")
 from torch_bnb_fp4_tpu.ops import format as fmt
+from torch_bnb_fp4_tpu.utils import calibrate_rtt
 
 REP = 200
 
@@ -184,17 +185,6 @@ def gemv(x, pk, sc, *, bs=64, block_k=512, block_n=None, dec=decode_exact17):
             dimension_semantics=("parallel", "arbitrary"), vmem_limit_bytes=100 * 2**20
         ),
     )(x, pk, sc)
-
-
-def calibrate_rtt():
-    f = jax.jit(lambda x: x + 1.0)
-    float(f(1.0))
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(f(1.0))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
 
 
 def make_timer(fn, x, *args):

@@ -92,43 +92,30 @@ def quantize_hf_weights(
     (recursively_replace_with_fp4_linear(ignore_layer_names=...),
     torch_bnb_fp4/__init__.py:788,831-835).
     """
+    import dataclasses
+
     import jax.numpy as jnp
 
-    code = fmt.FP4_CODE if quant_type == "fp4" else fmt.NF4_CODE
+    if quant_type != cfg.quant_type:
+        cfg = dataclasses.replace(cfg, quant_type=quant_type)
 
-    layout = "pairk" if quant_type == "fp4" else "splitk"
+    def _jnp_leaves(q: QuantLinear) -> QuantLinear:
+        return dataclasses.replace(
+            q,
+            packed=jnp.asarray(q.packed),
+            absmax_hi=jnp.asarray(q.absmax_hi),
+            absmax_lo=None if q.absmax_lo is None else jnp.asarray(q.absmax_lo),
+            bias=None if q.bias is None else jnp.asarray(q.bias),
+            codebook=None if q.codebook is None else jnp.asarray(q.codebook),
+        )
 
     def ql(name: str):
-        if any(s in name for s in ignore):
-            return dense_linear(_to_f32(tensors[name + ".weight"]),
-                                None if tensors.get(name + ".bias") is None
-                                else _to_f32(tensors[name + ".bias"]))
-        return _ql_quant(name)
-
-    def _ql_quant(name: str) -> QuantLinear:
-        w = _to_f32(tensors[name + ".weight"])
-        n_out, k_in = w.shape
-        kq = 8 * cfg.blocksize if layout == "pairk" else max(1024, 2 * cfg.blocksize)
-        k_pad = (k_in + kq - 1) // kq * kq
-        n_pad = (n_out + 127) // 128 * 128
-        if (k_pad, n_pad) != (k_in, n_out):
-            wp = np.zeros((n_pad, k_pad), np.float32)
-            wp[:n_out, :k_in] = w
-            w = wp
-        if layout == "pairk":
-            packed, hi = quantize_pack_pairk(w, blocksize=cfg.blocksize, variant=cfg.variant)
-            lo = None
-        else:
-            packed, hi, lo = quantize_pack_sharded(w, blocksize=cfg.blocksize, code=code)
+        w = tensors[name + ".weight"]
         bias = tensors.get(name + ".bias")
-        return QuantLinear(
-            packed=jnp.asarray(packed), absmax_hi=jnp.asarray(hi),
-            absmax_lo=None if lo is None else jnp.asarray(lo),
-            bias=None if bias is None else jnp.asarray(_to_f32(bias)),
-            n_out=n_out, k_in=k_in, blocksize=cfg.blocksize, layout=layout,
-            k_shards=1, variant=cfg.variant if layout == "pairk" else "exact",
-            codebook=None if quant_type == "fp4" else jnp.asarray(code),
-        )
+        if any(s in name for s in ignore):
+            return dense_linear(_to_f32(w), None if bias is None else _to_f32(bias))
+        # same builder as the streaming converter: ONE padding/quantize rule
+        return _jnp_leaves(_np_quant_linear(cfg, w, bias))
 
     def norm(name: str):
         return jnp.asarray(_to_f32(tensors[name]), jnp.bfloat16)
@@ -300,8 +287,10 @@ def convert_hf_model(
             meta["linears"][f] = m
         writer.put(f"layers.{i}", arrays, meta)
 
-    def flush_lm_head(w: np.ndarray, bias: np.ndarray | None) -> None:
-        if quantize_lm_head and not is_ignored("lm_head"):
+    def flush_lm_head(w: np.ndarray, bias: np.ndarray | None, src_name: str = "lm_head") -> None:
+        # the ignore-list matches the SOURCE tensor name (so a tied lm_head
+        # is filtered as "model.embed_tokens", matching quantize_hf_weights)
+        if quantize_lm_head and not is_ignored(src_name):
             arrays: dict = {}
             meta = _ql_to_arrays("lm_head", _np_quant_linear(cfg, w, bias), arrays)
             meta["row_parallel"] = False
@@ -326,12 +315,14 @@ def convert_hf_model(
             writer.put("embed", {"embed.w": _np_bf16(t["model.embed_tokens.weight"])},
                        {"kind": "dense_embed"})
             if tied_lm:
-                flush_lm_head(t["model.embed_tokens.weight"], None)
+                flush_lm_head(t["model.embed_tokens.weight"], None,
+                              src_name="model.embed_tokens")
         elif group == "final_norm":
             writer.put("final_norm", {"final_norm.w": _np_bf16(t["model.norm.weight"])},
                        {"kind": "norm"})
         elif group == "lm_head":
-            flush_lm_head(t["lm_head.weight"], t.get("lm_head.bias"))
+            flush_lm_head(t["lm_head.weight"], t.get("lm_head.bias"),
+                          src_name="lm_head")
         elif group.startswith("layers."):
             flush_layer(int(group.split(".")[1]), t)
         pending_bytes -= sum(a.nbytes for a in t.values())

@@ -264,22 +264,16 @@ def tp_forward_fn(params: T.ModelParams, cfg: T.ModelConfig, cache: T.KVCache, m
     cspecs = cache_specs(cache, data_sharded=data_sharded)
     batch = DATA_AXIS if data_sharded else None
     if with_last_index:
-        fn = shard_map(
-            partial(_tp_body, cfg=cfg, tp=tp),
-            mesh=mesh,
-            in_specs=(pspecs, P(batch, None), cspecs, P()),
-            out_specs=(P(batch, None, MODEL_AXIS), cspecs),
-            check_vma=False,
-        )
-        return fn
-    fn = shard_map(
-        lambda p, t, c: _tp_body(p, t, c, None, cfg=cfg, tp=tp),
+        body, extra = partial(_tp_body, cfg=cfg, tp=tp), (P(),)
+    else:
+        body, extra = lambda p, t, c: _tp_body(p, t, c, None, cfg=cfg, tp=tp), ()
+    return shard_map(
+        body,
         mesh=mesh,
-        in_specs=(pspecs, P(batch, None), cspecs),
+        in_specs=(pspecs, P(batch, None), cspecs) + extra,
         out_specs=(P(batch, None, MODEL_AXIS), cspecs),
         check_vma=False,
     )
-    return fn
 
 
 def make_decode_step(params: T.ModelParams, cfg: T.ModelConfig, cache: T.KVCache, mesh: Mesh):

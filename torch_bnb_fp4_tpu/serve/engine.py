@@ -230,15 +230,17 @@ class Engine:
         if not active:
             return 0
 
-        # inner-scan depth: as many steps as every active slot can take
-        # without passing its token budget or cache capacity, bucketed to a
-        # power of two (one compiled program per bucket)
+        # inner-scan depth: bounded only by the HARD cache-capacity limit of
+        # each active slot, bucketed to a power of two (one compiled program
+        # per bucket).  A slot's max_new_tokens budget does NOT shrink n —
+        # tokens decoded past it are dropped host-side below, exactly like
+        # post-EOS tokens (otherwise one nearly-finished request would
+        # collapse the whole batch to n=1 per host round-trip).
         budget = self.ecfg.inner_steps
         for i in active:
             req = self.slot_req[i]
             done = len(self.slot_tokens[i])
-            budget = min(budget, req.max_new_tokens - done,
-                         self.ecfg.max_len - (len(req.prompt) + done))
+            budget = min(budget, self.ecfg.max_len - (len(req.prompt) + done))
         n = 1
         while 2 * n <= budget:
             n *= 2
@@ -257,6 +259,8 @@ class Engine:
                 self._tokens_out += 1
                 if req.eos_id is not None and int(t) == req.eos_id:
                     break  # tokens decoded past EOS inside the scan are dropped
+                if len(self.slot_tokens[i]) >= req.max_new_tokens:
+                    break  # tokens past the request budget are dropped too
             self.slot_cur[i] = self.slot_tokens[i][-1]
         self._steps += n
         return len(active)
