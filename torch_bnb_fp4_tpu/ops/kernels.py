@@ -494,27 +494,35 @@ def _decode_pairs(x_u8_as_i32: jax.Array, variant: str = "exact") -> jax.Array:
     i32 lane (== (X<<12)|X, one op).  Per-variant exception handling
     (ops/format.PAIRK_MAGS192):
 
-      ramp   (7 ops):  no exceptions — rank 0 IS on the ramp (16 -> 0x4180).
+      ramp   (6 ops):  no exceptions — rank 0 IS on the ramp (16 -> 0x4180),
+                       and t = X*0x01001000 lands each nibble's SIGN bit
+                       directly at bf16 bit 15/31 (int32 wrap puts byte bit 7
+                       at bit 31), so sign costs one and+or.
       zramp  (12 ops): rank 0 decodes to +-0: mask via bit 3 of (q + 7).
       exact  (16 ops): ranks {0, 1} decode to {0, 1}: mask via bit 3 of
                        (q + 6), then OR rank back in scaled to bf16(1.0).
 
-    Measured v5e 4096x14336 GEMV: 93.5 / 73.7 / 50.7us for exact/zramp/ramp
-    vs 153.5us bf16 matvec (roofline ~44us).  (A multiply-free exact variant
-    — carry tricks replacing the muls — measured SLOWER in a controlled A/B:
-    104-108us vs 89.5us; int vector muls are ~1 slot on v5e.)
+    Measured v5e 4096x14336 GEMV: 93.5 / 73.7 / 47.7us for exact/zramp/ramp
+    vs 153.5us bf16 matvec (roofline ~44us; the 7-op ramp form measured
+    50.7-52.6us).  (A multiply-free exact variant — carry tricks replacing
+    the muls — measured SLOWER in a controlled A/B: 104-108us vs 89.5us; int
+    vector muls are ~1 slot on v5e.)
     """
     X = x_u8_as_i32
+    if variant == "ramp":
+        t = X * 0x01001000  # lo nibble -> bits[12:16], hi -> [28:32]
+        # (t >> 6) is arithmetic, but the mask keeps only the rank fields at
+        # [6:9] and [22:25]; -0x7FFF8000 is 0x80008000 as int32
+        return 0x41804180 + ((t >> 6) & 0x01C001C0) | (t & -0x7FFF8000)
     t = X * 0x1001
     q2 = t & 0x00070007
     bits = 0x41804180 + (q2 << 6)
-    if variant != "ramp":
-        off = 0x00060006 if variant == "exact" else 0x00070007
-        s1 = ((q2 + off) >> 3) & 0x00010001
-        bits = bits & (s1 * 0xFFFF)
-        if variant == "exact":
-            one = q2 & (s1 ^ 0x00010001)
-            bits = bits | (one * 0x3F80)
+    off = 0x00060006 if variant == "exact" else 0x00070007
+    s1 = ((q2 + off) >> 3) & 0x00010001
+    bits = bits & (s1 * 0xFFFF)
+    if variant == "exact":
+        one = q2 & (s1 ^ 0x00010001)
+        bits = bits | (one * 0x3F80)
     return bits | ((t & 0x00080008) << 12)
 
 
