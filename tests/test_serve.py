@@ -140,3 +140,12 @@ def test_engine_on_data_model_mesh(params):
     res = eng.run(reqs)
     for r in reqs:
         assert res[r.uid].tokens == _oracle(params, r.prompt, r.max_new_tokens), r.uid
+
+
+def test_latency_metrics(params):
+    eng = Engine(params, CFG, EngineConfig(max_batch=2, max_len=32))
+    res = eng.run([Request(uid=1, prompt=[5, 6], max_new_tokens=4)])
+    c = res[1]
+    assert c.total_s >= c.ttft_s > 0.0
+    s = eng.stats()
+    assert s["mean_ttft_s"] > 0.0 and s["mean_tpot_s"] >= 0.0

@@ -49,6 +49,9 @@ class Completion:
     tokens: list[int]
     prompt_len: int
     finish_reason: str  # "eos" | "length"
+    # serving latency metrics (host wall clock; SURVEY.md §5 observability)
+    ttft_s: float = 0.0  # submit -> first token (queue wait + prefill)
+    total_s: float = 0.0  # submit -> completion
 
 
 @dataclasses.dataclass(frozen=True)
@@ -106,6 +109,8 @@ class Engine:
         # host-side slot state
         self.slot_req: list[Request | None] = [None] * b
         self.slot_tokens: list[list[int]] = [[] for _ in range(b)]
+        self.slot_t0: list[float] = [0.0] * b  # first-token wall time per slot
+        self._submit_t: dict[int, float] = {}
         self.slot_cur = np.zeros(b, np.int64)  # current token per slot
         self.pending: deque[Request] = deque()
         self.completions: list[Completion] = []
@@ -175,6 +180,7 @@ class Engine:
     def submit(self, req: Request) -> None:
         if len(req.prompt) >= self.ecfg.max_len:
             raise ValueError(f"prompt len {len(req.prompt)} >= max_len {self.ecfg.max_len}")
+        self._submit_t[req.uid] = time.perf_counter()
         self.pending.append(req)
 
     def _free_slots(self) -> list[int]:
@@ -199,12 +205,17 @@ class Engine:
             self.slot_req[slot] = req
             self.slot_tokens[slot] = [int(first)]
             self.slot_cur[slot] = int(first)
+            self.slot_t0[slot] = time.perf_counter()
             log.debug("admit uid=%d slot=%d prompt_len=%d", req.uid, slot, len(req.prompt))
 
     def _retire(self, slot: int, reason: str) -> None:
         req = self.slot_req[slot]
+        now = time.perf_counter()
+        t_sub = self._submit_t.pop(req.uid, now)
         self.completions.append(
-            Completion(uid=req.uid, tokens=self.slot_tokens[slot], prompt_len=len(req.prompt), finish_reason=reason)
+            Completion(uid=req.uid, tokens=self.slot_tokens[slot],
+                       prompt_len=len(req.prompt), finish_reason=reason,
+                       ttft_s=self.slot_t0[slot] - t_sub, total_s=now - t_sub)
         )
         self.slot_req[slot] = None
         self.slot_tokens[slot] = []
@@ -269,14 +280,22 @@ class Engine:
         """Serving metrics (SURVEY.md §5 observability: tok/s, occupancy,
         per-step latency are first-class here; the reference has none)."""
         dt = time.perf_counter() - self._t0
+        done = self.completions
         return dict(
-            completions=len(self.completions),
+            completions=len(done),
             decode_steps=self._steps,
             tokens_out=self._tokens_out,
             tok_per_s=self._tokens_out / dt if dt > 0 else 0.0,
             avg_batch_occupancy=self._tokens_out / max(self._steps, 1),
             active_slots=sum(r is not None for r in self.slot_req),
             pending=len(self.pending),
+            # mean time-to-first-token and per-output-token latency over
+            # finished requests (wall clock incl. queueing)
+            mean_ttft_s=sum(c.ttft_s for c in done) / len(done) if done else 0.0,
+            mean_tpot_s=(
+                sum((c.total_s - c.ttft_s) / max(len(c.tokens) - 1, 1) for c in done) / len(done)
+                if done else 0.0
+            ),
         )
 
     def run(self, requests: list[Request]) -> dict[int, Completion]:
