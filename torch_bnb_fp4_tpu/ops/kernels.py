@@ -498,7 +498,9 @@ def _decode_pairs(x_u8_as_i32: jax.Array, variant: str = "exact") -> jax.Array:
                        and t = X*0x01001000 lands each nibble's SIGN bit
                        directly at bf16 bit 15/31 (int32 wrap puts byte bit 7
                        at bit 31), so sign costs one and+or.
-      zramp  (12 ops): rank 0 decodes to +-0: mask via bit 3 of (q + 7).
+      zramp  (11 ops): same sign trick; rank 0 decodes to +-0 via a
+                       per-half [q >= 1] mask built from (q<<12) + 0x7000's
+                       carry into bit 15/31.
       exact  (16 ops): ranks {0, 1} decode to {0, 1}: mask via bit 3 of
                        (q + 6), then OR rank back in scaled to bf16(1.0).
 
@@ -509,20 +511,24 @@ def _decode_pairs(x_u8_as_i32: jax.Array, variant: str = "exact") -> jax.Array:
     vector muls are ~1 slot on v5e.)
     """
     X = x_u8_as_i32
-    if variant == "ramp":
+    if variant in ("ramp", "zramp"):
         t = X * 0x01001000  # lo nibble -> bits[12:16], hi -> [28:32]
         # (t >> 6) is arithmetic, but the mask keeps only the rank fields at
         # [6:9] and [22:25]; -0x7FFF8000 is 0x80008000 as int32
-        return 0x41804180 + ((t >> 6) & 0x01C001C0) | (t & -0x7FFF8000)
+        if variant == "ramp":
+            return 0x41804180 + ((t >> 6) & 0x01C001C0) | (t & -0x7FFF8000)
+        q12 = t & 0x70007000
+        bits = 0x41804180 + (q12 >> 6)
+        # [q >= 1] per half: adding 0x7000 to q<<12 carries into bit 15/31
+        s1 = ((q12 + 0x70007000) >> 15) & 0x00010001
+        return bits & (s1 * 0xFFFF) | (t & -0x7FFF8000)
     t = X * 0x1001
     q2 = t & 0x00070007
     bits = 0x41804180 + (q2 << 6)
-    off = 0x00060006 if variant == "exact" else 0x00070007
-    s1 = ((q2 + off) >> 3) & 0x00010001
+    s1 = ((q2 + 0x00060006) >> 3) & 0x00010001
     bits = bits & (s1 * 0xFFFF)
-    if variant == "exact":
-        one = q2 & (s1 ^ 0x00010001)
-        bits = bits | (one * 0x3F80)
+    one = q2 & (s1 ^ 0x00010001)
+    bits = bits | (one * 0x3F80)
     return bits | ((t & 0x00080008) << 12)
 
 
