@@ -463,13 +463,13 @@ def gemv_fp4(
 # ---------------------------------------------------------------------------
 # Pair-K kernels: the FP4 serving hot path (see ops/format.pack_tpu_pairk).
 #
-# Decode is 17 integer ops per BYTE (= 8.5 lane-slots per weight): both
-# nibbles of a byte decode inside one i32 lane into two bf16 bit patterns of
-# 192*code (rank-remapped ramp 0x4180 + q*0x40), and pltpu.bitcast lands them
-# K-contiguous for the MXU.  The per-block absmax/192 multiplies the (BM, BN)
-# block PARTIAL after the dot — 1/64 of an op per weight instead of 1.
-# Measured on v5e (x(8,4096) @ 4096x14336): 86us vs 156us bf16 matvec (1.81x)
-# vs 182us for the split-K f32-decode path; roofline (DMA-bound) 40us.
+# Both nibbles of a byte decode inside one i32 lane into two bf16 bit
+# patterns of 192*code (rank ramp 0x4180 + q*0x40), and pltpu.bitcast lands
+# them K-contiguous for the MXU; 6 / 11 / 16 integer ops per byte for the
+# ramp / zramp / exact codebook variants (_decode_pairs).  The per-block
+# absmax/192 multiplies the (BM, BN) block PARTIAL after the dot — 1/64 of
+# an op per weight instead of 1.  Measured on v5e (x(1,4096) @ 4096x14336):
+# ramp 47.7us vs 153.5us bf16 matvec (3.2x); roofline (DMA-bound) ~44us.
 # ---------------------------------------------------------------------------
 
 
