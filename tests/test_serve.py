@@ -149,3 +149,17 @@ def test_latency_metrics(params):
     assert c.total_s >= c.ttft_s > 0.0
     s = eng.stats()
     assert s["mean_ttft_s"] > 0.0 and s["mean_tpot_s"] >= 0.0
+
+
+def test_streaming_callback(params):
+    """on_token streams every emitted token in order, matching the final
+    completion (prefill first-token included)."""
+    streamed: dict[int, list[int]] = {}
+    eng = Engine(params, CFG, EngineConfig(max_batch=2, max_len=32, inner_steps=4),
+                 on_token=lambda uid, t: streamed.setdefault(uid, []).append(t))
+    res = eng.run([
+        Request(uid=1, prompt=[5, 6, 7], max_new_tokens=6),
+        Request(uid=2, prompt=[1, 2], max_new_tokens=5),
+    ])
+    assert streamed[1] == res[1].tokens
+    assert streamed[2] == res[2].tokens

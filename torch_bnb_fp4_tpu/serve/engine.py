@@ -76,7 +76,13 @@ class Engine:
     (parallel.shard_params) and the engine builds shard_map'd step programs.
     """
 
-    def __init__(self, params: T.ModelParams, cfg: T.ModelConfig, ecfg: EngineConfig, mesh=None):
+    def __init__(self, params: T.ModelParams, cfg: T.ModelConfig, ecfg: EngineConfig, mesh=None,
+                 on_token=None):
+        """``on_token``: optional callback ``(uid, token_id)`` invoked for every
+        emitted token (prefill first token + each decoded token) — the
+        streaming hook (the reference demo streams through HF's
+        TextStreamer, speed_test_mistral_7b.py:106-130)."""
+        self.on_token = on_token
         self.params = params
         self.cfg = cfg
         self.ecfg = ecfg
@@ -206,6 +212,8 @@ class Engine:
             self.slot_tokens[slot] = [int(first)]
             self.slot_cur[slot] = int(first)
             self.slot_t0[slot] = time.perf_counter()
+            if self.on_token is not None:
+                self.on_token(req.uid, int(first))
             log.debug("admit uid=%d slot=%d prompt_len=%d", req.uid, slot, len(req.prompt))
 
     def _retire(self, slot: int, reason: str) -> None:
@@ -268,6 +276,8 @@ class Engine:
             for t in toks[i]:
                 self.slot_tokens[i].append(int(t))
                 self._tokens_out += 1
+                if self.on_token is not None:
+                    self.on_token(req.uid, int(t))
                 if req.eos_id is not None and int(t) == req.eos_id:
                     break  # tokens decoded past EOS inside the scan are dropped
                 if len(self.slot_tokens[i]) >= req.max_new_tokens:
