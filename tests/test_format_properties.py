@@ -98,3 +98,27 @@ def test_bnb_flat_roundtrip(data):
     tp_packed, tp_absmax = fmt.tpu_layout_from_bnb(packed, absmax, (n_out, k_in))
     deq_tp = fmt.unpack_tpu(tp_packed, tp_absmax)
     np.testing.assert_array_equal(deq, deq_tp.T)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_apply_linear_arbitrary_shapes(data):
+    """quantize_linear + apply_linear handle arbitrary (unaligned) n_out/k_in
+    via padding, for every variant, on GEMV and GEMM dispatch paths
+    (interpret-mode kernels)."""
+    import jax.numpy as jnp
+
+    from torch_bnb_fp4_tpu.models import linear as L
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    n_out = data.draw(st.integers(3, 200))
+    k_in = data.draw(st.integers(1, 5)) * 64  # blocksize-aligned (bnb semantics)
+    variant = data.draw(st.sampled_from(list(fmt.PAIRK_VARIANTS)))
+    m = data.draw(st.sampled_from([1, 3]))
+    w = (rng.standard_normal((n_out, k_in)) * 0.1).astype(np.float32)
+    q = L.quantize_linear(w, variant=variant)
+    wt = np.asarray(L.dequantize_weight(q, out_dtype=jnp.float32, interpret=True))
+    x = rng.standard_normal((m, k_in)).astype(np.float32)
+    y = np.asarray(q(jnp.asarray(x), interpret=True))
+    assert y.shape == (m, n_out)
+    np.testing.assert_allclose(y, x @ wt.T, rtol=1e-4, atol=1e-4)
