@@ -84,3 +84,15 @@ def test_engine_rejects_bad_batch_over_data_mesh():
     mesh = make_mesh(n_model=2, n_data=2)
     with pytest.raises(ValueError, match="max_batch"):
         Engine(shard_params(params, mesh), cfg, EngineConfig(max_batch=3), mesh=mesh)
+
+
+def test_engine_rejects_empty_prompt():
+    from torch_bnb_fp4_tpu.models import ModelConfig, quantize_params
+    from torch_bnb_fp4_tpu.models import transformer as T
+    from torch_bnb_fp4_tpu.serve import Engine, EngineConfig, Request
+
+    cfg = ModelConfig.tiny_test(n_layers=1)
+    eng = Engine(quantize_params(cfg, T.random_weights(cfg, seed=2)), cfg,
+                 EngineConfig(max_batch=1, max_len=8))
+    with pytest.raises(ValueError, match="empty prompt"):
+        eng.submit(Request(uid=1, prompt=[], max_new_tokens=2))

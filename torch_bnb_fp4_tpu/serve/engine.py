@@ -184,6 +184,8 @@ class Engine:
     # -- host API ----------------------------------------------------------
 
     def submit(self, req: Request) -> None:
+        if not req.prompt:
+            raise ValueError("empty prompt (need at least one token to prefill)")
         if len(req.prompt) >= self.ecfg.max_len:
             raise ValueError(f"prompt len {len(req.prompt)} >= max_len {self.ecfg.max_len}")
         self._submit_t[req.uid] = time.perf_counter()
