@@ -44,17 +44,17 @@ def test_quantize_linear_bad_inputs():
 def test_matmul_pk_shape_and_dtype_checks(layer):
     packed, scale = layer.packed, layer.absmax_hi
     with pytest.raises(ValueError, match=r"x must be \(M, K=1024\)"):
-        K.matmul_fp4_pk(jnp.zeros((2, 512), jnp.bfloat16), packed, scale, interpret=True)
+        K.matmul_fp4_pk(jnp.zeros((2, 512), jnp.bfloat16), packed, scale, variant="exact", interpret=True)
     with pytest.raises(ValueError, match="scale must be"):
-        K.matmul_fp4_pk(jnp.zeros((2, 1024), jnp.bfloat16), packed, scale[:-1], interpret=True)
+        K.matmul_fp4_pk(jnp.zeros((2, 1024), jnp.bfloat16), packed, scale[:-1], variant="exact", interpret=True)
     with pytest.raises(ValueError, match="uint8"):
         K.matmul_fp4_pk(jnp.zeros((2, 1024), jnp.bfloat16),
-                        packed.astype(jnp.int32), scale, interpret=True)
+                        packed.astype(jnp.int32), scale, variant="exact", interpret=True)
     with pytest.raises(ValueError, match="variant"):
         K.matmul_fp4_pk(jnp.zeros((2, 1024), jnp.bfloat16), packed, scale,
                         variant="turbo", interpret=True)
     with pytest.raises(ValueError, match="batch-1"):
-        K.gemv_fp4_pk(jnp.zeros((2, 1024), jnp.bfloat16), packed, scale, interpret=True)
+        K.gemv_fp4_pk(jnp.zeros((2, 1024), jnp.bfloat16), packed, scale, variant="exact", interpret=True)
 
 
 def test_splitk_absmax_shape_check(rng):

@@ -55,7 +55,7 @@ def test_dequantize_tpu_pk_exact(rng, out_dtype):
     packed, scale = fmt.pack_tpu_pairk(w)
     golden = fmt.unpack_tpu_pairk(packed, scale)
     out = K.dequantize_tpu_pk(
-        jnp.asarray(packed), jnp.asarray(scale), out_dtype=out_dtype, interpret=True
+        jnp.asarray(packed), jnp.asarray(scale), out_dtype=out_dtype, variant="exact", interpret=True
     )
     np.testing.assert_array_equal(np.asarray(out), golden.astype(np.asarray(out).dtype))
 
@@ -67,7 +67,7 @@ def test_matmul_pk_matches_golden(rng, m, dtype):
     w = (rng.standard_normal((n_out, k_in)) * 0.05).astype(np.float32)
     packed, scale = fmt.pack_tpu_pairk(w)
     x = jnp.asarray(rng.standard_normal((m, k_in)) * 0.5, dtype)
-    out = K.matmul_fp4_pk(x, jnp.asarray(packed), jnp.asarray(scale), interpret=True)
+    out = K.matmul_fp4_pk(x, jnp.asarray(packed), jnp.asarray(scale), variant="exact", interpret=True)
     assert out.shape == (m, n_out) and out.dtype == dtype
     golden = np.asarray(x, np.float32) @ fmt.unpack_tpu_pairk(packed, scale)
     np.testing.assert_allclose(np.asarray(out, np.float32), golden, rtol=2e-2, atol=2e-3)
@@ -81,7 +81,7 @@ def test_matmul_pk_m_inner_path(rng, dtype):
     w = (rng.standard_normal((n_out, k_in)) * 0.05).astype(np.float32)
     packed, scale = fmt.pack_tpu_pairk(w)
     x = jnp.asarray(rng.standard_normal((m, k_in)) * 0.5, dtype)
-    y_inner = K.matmul_fp4_pk(x, jnp.asarray(packed), jnp.asarray(scale), block_m=16, interpret=True)
+    y_inner = K.matmul_fp4_pk(x, jnp.asarray(packed), jnp.asarray(scale), block_m=16, variant="exact", interpret=True)
     golden = np.asarray(x, np.float32) @ fmt.unpack_tpu_pairk(packed, scale)
     # m-inner pre-scales w (one extra rounding in compute dtype) vs the
     # m-outer integer-dot + partial-scale structure; near-zero outputs see
@@ -95,7 +95,7 @@ def test_matmul_pk_bias(rng):
     bias = rng.standard_normal(n_out).astype(np.float32)
     packed, scale = fmt.pack_tpu_pairk(w)
     x = rng.standard_normal((4, k_in)).astype(np.float32)
-    out = K.matmul_fp4_pk(jnp.asarray(x), jnp.asarray(packed), jnp.asarray(scale), jnp.asarray(bias), interpret=True)
+    out = K.matmul_fp4_pk(jnp.asarray(x), jnp.asarray(packed), jnp.asarray(scale), jnp.asarray(bias), variant="exact", interpret=True)
     golden = x @ fmt.unpack_tpu_pairk(packed, scale) + bias
     np.testing.assert_allclose(np.asarray(out), golden, rtol=1e-5, atol=1e-5)
 

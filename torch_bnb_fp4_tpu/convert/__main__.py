@@ -20,6 +20,13 @@ def main():
                     help="substring of layer names to keep unquantized "
                     "(repeatable) — reference ignore_layer_names parity")
     args = ap.parse_args()
+    if args.quant_type == "fp4" and args.variant != "exact":
+        print(
+            f"note: variant={args.variant!r} remaps the FP4 codebook at pack time "
+            "(faster decode, measured slightly more accurate on Gaussian weights) — "
+            "the stored codes are NOT bit-exact bnb FP4; use --variant exact for "
+            "strict bnb parity."
+        )
     convert_hf_model(
         args.model_dir,
         args.out_dir,

@@ -590,9 +590,10 @@ def _matmul_pk_minner_kernel(x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, w_
         # dots then run at full block_k depth, keeping the MXU pipeline full
         # (64-deep per-quant-block dots cap it at ~50%).  For bf16 compute the
         # whole prescale stays in bf16 (2 values/lane): the decoded integer
-        # code values are exact in bf16 and only the scale multiply rounds
-        # (one bf16 ulp, ~2^-9 relative — noise next to FP4's ~6% quant
-        # error).  Scale broadcast is one native (1, BN)-row broadcast per
+        # code values are exact in bf16; the f32 scale's cast to bf16 and the
+        # bf16 product each round once (~2^-8 relative worst case combined —
+        # noise next to FP4's ~6% quant error).  Scale broadcast is one
+        # native (1, BN)-row broadcast per
         # quant block, NOT jnp.repeat (sublane-shuffle repeat measured ~100us
         # extra per 4096x14336 at M=2048).
         # decode one quant-block slice at a time: (blocksize, BN) temps stay
@@ -639,13 +640,17 @@ def matmul_fp4_pk(
     block_k: int | None = None,
     block_n: int = 2048,
     interpret: bool | None = None,
-    variant: str = "exact",
+    variant: str,
 ) -> jax.Array:
     """Fused pair-K dequant-matmul: y[M, N] = x[M, K] @ Wt[K, N] (+ bias).
 
     ``packed`` uint8 (K/2, N) pair-K layout; ``scale`` f32 (K/blocksize, N)
     = absmax/192; ``variant`` selects the stored codebook's decode
     (ops/format.pack_tpu_pairk + PAIRK_MAGS192 — must match the pack).
+    ``variant`` is REQUIRED (no default): packed bytes carry no
+    self-describing codebook, so a silent pack/decode mismatch would produce
+    wrong weights — every caller states which codebook the buffer holds
+    (QuantLinear threads its own ``variant`` field).
     ``block_k`` None = auto: 512 for the decode/GEMV-shaped m-outer path,
     1024 for the m-inner GEMM path (both measured best on v5e).
     ``x`` may be f32, bf16, or f16 — f16 computes in bf16 (see matmul_fp4's
@@ -771,7 +776,7 @@ def matmul_fp4_pk(
     return out[:m]
 
 
-def gemv_fp4_pk(x, packed, scale, bias=None, *, blocksize=64, out_dtype=None, block_k=512, block_n=8192, interpret=None, variant="exact"):
+def gemv_fp4_pk(x, packed, scale, bias=None, *, blocksize=64, out_dtype=None, block_k=512, block_n=8192, interpret=None, variant):
     """Batch-1 pair-K decode fast path (v5e sweet spot: block_k 512, widest N
     block that fits).  Measured 4096x14336 vs 153.5us bf16 matvec: 93.5us
     exact / 73.7us zramp / 50.7us ramp (see _decode_pairs)."""
@@ -795,7 +800,7 @@ def _dequant_pk_kernel(p_ref, s_ref, o_ref, *, blocksize, out_dtype, variant):
     jax.jit,
     static_argnames=("blocksize", "out_dtype", "block_k", "block_n", "interpret", "variant"),
 )
-def dequantize_tpu_pk(packed, scale, *, blocksize=64, out_dtype=jnp.bfloat16, block_k=1024, block_n=1024, interpret=None, variant="exact"):
+def dequantize_tpu_pk(packed, scale, *, blocksize=64, out_dtype=jnp.bfloat16, block_k=1024, block_n=1024, interpret=None, variant):
     """Materialize Wt (K, N) from the pair-K layout (golden:
     ops/format.unpack_tpu_pairk)."""
     if interpret is None:
