@@ -5,6 +5,7 @@ quantizer's invariants across random shapes, blocksizes, codebook variants,
 and adversarial values (zeros, denormal-scale blocks, +-absmax ties).
 """
 
+import ml_dtypes
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
@@ -78,10 +79,11 @@ def test_fast_pack_matches_golden(data, variant):
     from torch_bnb_fp4_tpu.convert import quantize_pack_pairk
 
     w = _weights(data.draw, 64)
-    gp, gs = fmt.pack_tpu_pairk(w, variant=variant)
-    fp, fs = quantize_pack_pairk(w, variant=variant)
-    np.testing.assert_array_equal(gp, fp)
-    np.testing.assert_array_equal(gs, fs)
+    for sdt in (np.float32, ml_dtypes.bfloat16):
+        gp, gs = fmt.pack_tpu_pairk(w, variant=variant, scale_dtype=sdt)
+        fp, fs = quantize_pack_pairk(w, variant=variant, scale_dtype=sdt)
+        np.testing.assert_array_equal(gp, fp)
+        np.testing.assert_array_equal(gs.view(np.uint16), fs.view(np.uint16))
 
 
 @settings(max_examples=30, deadline=None)
@@ -122,3 +124,17 @@ def test_apply_linear_arbitrary_shapes(data):
     y = np.asarray(q(jnp.asarray(x), interpret=True))
     assert y.shape == (m, n_out)
     np.testing.assert_allclose(y, x @ wt.T, rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_scale_pack_roundtrip_error_bound():
+    """bf16 scales: codes are re-quantized against the ROUNDED scale, so the
+    roundtrip error stays within ~1 bf16 ulp of the f32-scale pack's."""
+    rng = np.random.default_rng(5)
+    w = (rng.standard_normal((64, 1024)) * 0.07).astype(np.float32)
+    for variant in ("ramp", "exact"):
+        p32, s32 = fmt.pack_tpu_pairk(w, variant=variant)
+        pbf, sbf = fmt.pack_tpu_pairk(w, variant=variant, scale_dtype=ml_dtypes.bfloat16)
+        assert sbf.dtype == np.dtype(ml_dtypes.bfloat16)
+        e32 = np.abs(fmt.unpack_tpu_pairk(p32, s32, variant=variant).T - w).mean()
+        ebf = np.abs(fmt.unpack_tpu_pairk(pbf, sbf, variant=variant).T - w).mean()
+        assert ebf <= e32 * 1.01, (variant, ebf, e32)

@@ -130,7 +130,9 @@ def test_pairk_blocksizes(rng, bs):
     q = L.quantize_linear(w, blocksize=bs)
     x = rng.standard_normal((3, k_in)).astype(np.float32)
     y = np.asarray(q(jnp.asarray(x), interpret=True))
-    packed, scale = fmt.pack_tpu_pairk(w, blocksize=bs, variant=q.variant)
+    packed, scale = fmt.pack_tpu_pairk(
+        w, blocksize=bs, variant=q.variant, scale_dtype=q.absmax_hi.dtype
+    )
     golden = x @ fmt.unpack_tpu_pairk(packed, scale, blocksize=bs, variant=q.variant)
     np.testing.assert_allclose(y, golden, rtol=1e-4, atol=1e-4)
     # GEMV path too
@@ -147,7 +149,7 @@ def test_variant_kernel_matches_golden(rng, variant):
     b = rng.standard_normal(n_out).astype(np.float32)
     q = L.quantize_linear(w, b, variant=variant)
     assert q.variant == variant
-    packed, scale = fmt.pack_tpu_pairk(w, variant=variant)
+    packed, scale = fmt.pack_tpu_pairk(w, variant=variant, scale_dtype=q.absmax_hi.dtype)
     wt = fmt.unpack_tpu_pairk(packed, scale, variant=variant)
     for m in (1, 5):
         x = rng.standard_normal((m, k_in)).astype(np.float32)
@@ -265,3 +267,35 @@ def test_fast_pairk_pack_bit_identical(rng):
     f_packed, f_scale = quantize_pack_pairk(w)
     np.testing.assert_array_equal(g_packed, f_packed)
     np.testing.assert_array_equal(g_scale, f_scale)
+
+
+@pytest.mark.parametrize("block_k", [128, 256, 512])
+def test_gemv_small_block_k_matches_golden(rng, block_k):
+    """The scale-stripe m-outer kernel unlocks block_k < 512 (the K-blocked
+    scale tile's 8-sublane quantum used to clamp it); every block_k must
+    produce identical results."""
+    n_out, k_in = 256, 1024
+    w = (rng.standard_normal((n_out, k_in)) * 0.05).astype(np.float32)
+    packed, scale = fmt.pack_tpu_pairk(w)
+    x = jnp.asarray(rng.standard_normal((1, k_in)) * 0.5, jnp.bfloat16)
+    out = K.gemv_fp4_pk(
+        jnp.asarray(x), jnp.asarray(packed), jnp.asarray(scale),
+        block_k=block_k, variant="exact", interpret=True,
+    )
+    golden = np.asarray(x, np.float32) @ fmt.unpack_tpu_pairk(packed, scale)
+    np.testing.assert_allclose(np.asarray(out, np.float32), golden, rtol=2e-2, atol=2e-3)
+
+
+@pytest.mark.parametrize("m", [4, 16])
+def test_matmul_m_outer_small_block_k(rng, m):
+    """m-outer GEMM (batched decode slots) with block_k=256 via the stripe."""
+    n_out, k_in = 256, 1024
+    w = (rng.standard_normal((n_out, k_in)) * 0.05).astype(np.float32)
+    packed, scale = fmt.pack_tpu_pairk(w, variant="ramp")
+    x = jnp.asarray(rng.standard_normal((m, k_in)) * 0.5, jnp.bfloat16)
+    out = K.matmul_fp4_pk(
+        jnp.asarray(x), jnp.asarray(packed), jnp.asarray(scale),
+        block_k=256, block_m=256, variant="ramp", interpret=True,
+    )
+    golden = np.asarray(x, np.float32) @ fmt.unpack_tpu_pairk(packed, scale, variant="ramp")
+    np.testing.assert_allclose(np.asarray(out, np.float32), golden, rtol=2e-2, atol=2e-3)

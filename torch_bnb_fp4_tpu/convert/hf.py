@@ -180,7 +180,9 @@ def _np_quant_linear(cfg: ModelConfig, w: np.ndarray, bias: np.ndarray | None):
         wp[:n_out, :k_in] = w
         w = wp
     if layout == "pairk":
-        packed, hi = quantize_pack_pairk(w, blocksize=cfg.blocksize, variant=cfg.variant)
+        packed, hi = quantize_pack_pairk(
+            w, blocksize=cfg.blocksize, variant=cfg.variant
+        )
         lo = None
     else:
         packed, hi, lo = quantize_pack_sharded(w, blocksize=cfg.blocksize, code=code)

@@ -72,21 +72,30 @@ def quantize_pack_sharded(
     return packed, hi, lo
 
 
-def quantize_pack_pairk(w: np.ndarray, blocksize: int = 64, variant: str = "exact"):
+def quantize_pack_pairk(w: np.ndarray, blocksize: int = 64, variant: str = "exact", scale_dtype=np.float32):
     """Fast bit-identical equivalent of ``fmt.pack_tpu_pairk`` (torch ops).
 
     Returns (packed uint8 (K/2, N) rank-coded pair-K bytes,
-    scale f32 (K/bs, N) = absmax/192).  ``variant``: stored codebook
-    (ops/format.PAIRK_MAGS192)."""
+    scale (K/bs, N) = absmax/192 in ``scale_dtype``).  ``variant``: stored
+    codebook (ops/format.PAIRK_MAGS192).  bf16 scales re-quantize codes
+    against the rounded scale, exactly like pack_tpu_pairk."""
     import torch
 
     w = np.ascontiguousarray(w, dtype=np.float32)
     n_out, k_in = w.shape
     if k_in % (2 * blocksize) != 0:
         raise ValueError(f"K={k_in} not divisible by 2*blocksize")
+    scale_dtype = np.dtype(scale_dtype)
     t = torch.from_numpy(w)
     blocks = t.view(n_out, k_in // blocksize, blocksize)
     absmax = blocks.abs().amax(dim=2)
+    if scale_dtype == fmt._BF16:
+        # round the stored scale first (same RNE rounding as ml_dtypes), then
+        # quantize codes against the rounded value
+        rounded = (absmax / fmt.PAIRK_VALUE_SCALE).to(torch.bfloat16).float()
+        absmax = rounded * fmt.PAIRK_VALUE_SCALE
+    elif scale_dtype != np.dtype(np.float32):
+        raise ValueError(f"scale_dtype must be float32 or bfloat16, got {scale_dtype}")
     safe = torch.where(absmax == 0, torch.ones_like(absmax), absmax)
     normed = blocks / safe.unsqueeze(2)
     if variant == "exact":
@@ -96,7 +105,7 @@ def quantize_pack_pairk(w: np.ndarray, blocksize: int = 64, variant: str = "exac
         codes = _nearest_codes_torch(normed.reshape(n_out, k_in), fmt.pairk_code(variant))
     ct = codes.T.contiguous()  # (K, N)
     packed = ((ct[1::2] << 4) | ct[0::2]).numpy().astype(np.uint8)
-    scale = (absmax.T.contiguous().numpy() / fmt.PAIRK_VALUE_SCALE).astype(np.float32)
+    scale = (absmax.T.contiguous().numpy() / fmt.PAIRK_VALUE_SCALE).astype(scale_dtype)
     return packed, scale
 
 

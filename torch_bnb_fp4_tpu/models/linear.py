@@ -123,6 +123,7 @@ def quantize_linear(
     layout: str | None = None,
     k_shards: int = 1,
     variant: str = "ramp",
+    scale_dtype=None,
 ) -> QuantLinear:
     """Quantize a weight matrix (n_out, k_in) into a QuantLinear.
 
@@ -135,7 +136,10 @@ def quantize_linear(
     quantization — defaults to "ramp" (7-op decode, ~2x faster serving than
     "exact", slightly more accurate; see ops/format.PAIRK_MAGS192).  Use
     "exact" for strict bnb-FP4 code parity; bnb-imported state is always
-    "exact" (convert/bnb.py).
+    "exact" (convert/bnb.py).  ``scale_dtype`` (pairk only): None = auto —
+    bfloat16 for the remap variants (halves the scale bytes every decode
+    kernel streams, ~5% of step DMA; codes are re-quantized against the
+    rounded scale), float32 for "exact" (strict parity).
     """
     w = np.asarray(w, dtype=np.float32)
     if w.ndim != 2:
@@ -170,7 +174,16 @@ def quantize_linear(
     else:
         wp = w
     if layout == "pairk":
-        packed, scale = fmt.pack_tpu_pairk(wp, blocksize=blocksize, variant=variant)
+        if scale_dtype is None:
+            # f32 by default: bf16 scales measured FLAT-to-slightly-worse on
+            # v5e (the GEMV kernels sit at the compute/DMA balance point, so
+            # halved scale bytes are offset by the 16-row window selects —
+            # benchmarks/scale_dtype_ab.py).  bf16 remains available for
+            # checkpoint compactness / future bandwidth-richer chips.
+            scale_dtype = np.float32
+        packed, scale = fmt.pack_tpu_pairk(
+            wp, blocksize=blocksize, variant=variant, scale_dtype=scale_dtype
+        )
         absmax_hi, absmax_lo = scale, None
     else:
         packed, absmax_hi, absmax_lo = fmt.pack_tpu_sharded(

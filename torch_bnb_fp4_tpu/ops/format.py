@@ -26,7 +26,11 @@ contraction dimension of every matmul tile sees a contiguous scale broadcast.
 
 from __future__ import annotations
 
+import ml_dtypes
 import numpy as np
+
+# bf16 as a numpy dtype (ml_dtypes ships with jax); used for compact scales
+_BF16 = np.dtype(ml_dtypes.bfloat16)
 
 # The 16-entry FP4 codebook (reference csrc/dequant_fp4_optimized.cu:28-46).
 # Index bit 3 is the sign; entries 8..15 are the negation of entries 0..7.
@@ -80,10 +84,13 @@ NF4_CODE = np.array(
 DEFAULT_BLOCKSIZE = 64
 
 
-def quantize_codes(w: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE, code: np.ndarray = FP4_CODE):
+def quantize_codes(w: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE, code: np.ndarray = FP4_CODE, absmax: np.ndarray | None = None):
     """Quantize a float array to 4-bit codebook indices + per-block absmax.
 
     Blocks run over the *flat row-major order* of ``w`` (bnb semantics).
+    ``absmax`` overrides the per-block scale (used to re-quantize against a
+    rounded/stored scale so codes stay nearest-neighbor w.r.t. what decode
+    will actually multiply by).
 
     Returns (codes uint8 in [0,16) flat, absmax float32 of shape (nblocks,)).
     """
@@ -92,7 +99,8 @@ def quantize_codes(w: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE, code: np.n
     if n % blocksize != 0:
         raise ValueError(f"numel {n} not divisible by blocksize {blocksize}")
     blocks = flat.reshape(-1, blocksize)
-    absmax = np.abs(blocks).max(axis=1).astype(np.float32)
+    if absmax is None:
+        absmax = np.abs(blocks).max(axis=1).astype(np.float32)
     # Normalize each block to [-1, 1]; nearest codebook entry.
     safe = np.where(absmax == 0.0, 1.0, absmax)
     normed = blocks / safe[:, None]
@@ -320,7 +328,7 @@ def pairk_code(variant: str = "exact") -> np.ndarray:
     return np.concatenate([m, -m]).astype(np.float32)
 
 
-def pack_tpu_pairk(w: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE, variant: str = "exact"):
+def pack_tpu_pairk(w: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE, variant: str = "exact", scale_dtype=np.float32):
     """Quantize + pack a weight matrix (N_out, K_in) into the pair-K layout.
 
     Layout (FP4-family only; NF4 keeps the split-K layout):
@@ -334,6 +342,11 @@ def pack_tpu_pairk(w: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE, variant: s
         slices dim 0 of packed+scale, column-parallel slices dim 1.
       * ``variant``: the stored codebook (see PAIRK_MAGS192).  "exact" is
         bit-exact bnb FP4; "ramp"/"zramp" are faster-decoding remaps.
+      * ``scale_dtype``: f32 (default) or bfloat16.  bf16 halves the scale
+        bytes the GEMV kernels stream (scale is ~5-11% of a kernel's DMA);
+        codes are RE-QUANTIZED against the rounded scale so the only extra
+        error is the scale rounding itself (<= 2^-9 relative — noise next to
+        FP4's ~6% quantization error).
 
     Same absmax grid (bnb-identical blocks along K) as pack_tpu.
     """
@@ -341,16 +354,27 @@ def pack_tpu_pairk(w: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE, variant: s
     n_out, k_in = w.shape
     if k_in % (2 * blocksize) != 0:
         raise ValueError(f"K={k_in} must be divisible by 2*blocksize={2 * blocksize}")
+    scale_dtype = np.dtype(scale_dtype)
+    if scale_dtype not in (np.dtype(np.float32), _BF16):
+        raise ValueError(f"scale_dtype must be float32 or bfloat16, got {scale_dtype}")
+    absmax = None
+    if scale_dtype == _BF16:
+        # round the stored scale FIRST, then quantize codes against the
+        # rounded value: decode multiplies by the rounded scale, so nearest-
+        # neighbor must be taken w.r.t. it
+        flat = np.abs(w.reshape(-1, blocksize)).max(axis=1).astype(np.float32)
+        rounded = (flat / PAIRK_VALUE_SCALE).astype(_BF16)
+        absmax = rounded.astype(np.float32) * PAIRK_VALUE_SCALE
     if variant == "exact":
         # quantize against bnb's FP4_CODE (identical tie behavior to the flat
         # bnb path), then remap magnitude-index -> rank
-        codes, absmax = quantize_codes(w, blocksize, FP4_CODE)
+        codes, absmax = quantize_codes(w, blocksize, FP4_CODE, absmax=absmax)
         codes = RANK_REMAP[codes]
     else:
-        codes, absmax = quantize_codes(w, blocksize, pairk_code(variant))
+        codes, absmax = quantize_codes(w, blocksize, pairk_code(variant), absmax=absmax)
     ct = codes.reshape(n_out, k_in).T  # (K, N)
     packed = ((ct[1::2].astype(np.uint8) << 4) | ct[0::2]).astype(np.uint8)
-    scale = (absmax.reshape(n_out, k_in // blocksize).T / PAIRK_VALUE_SCALE).astype(np.float32)
+    scale = (absmax.reshape(n_out, k_in // blocksize).T / PAIRK_VALUE_SCALE).astype(scale_dtype)
     return np.ascontiguousarray(packed), np.ascontiguousarray(scale)
 
 

@@ -473,11 +473,25 @@ def gemv_fp4(
 # ---------------------------------------------------------------------------
 
 
-def _k_block_pairk(k: int, requested: int, blocksize: int) -> int:
-    """Pick the K block for pair-K kernels.  Quantum = 8*blocksize (the f32
-    scale tile (block_k/bs, n) needs >= 8 sublanes); small row-parallel shards
-    fall back to one full-K block."""
-    q = 8 * blocksize
+def _k_block_pairk(k: int, requested: int, blocksize: int, s_quantum: int = 8) -> int:
+    """Pick the K block for pair-K kernels whose scale tile is K-blocked.
+    Quantum = s_quantum*blocksize (the scale tile (block_k/bs, n) needs >= 8
+    sublanes for f32 scales, >= 16 for bf16); small row-parallel shards fall
+    back to one full-K block."""
+    q = s_quantum * blocksize
+    if k % q == 0:
+        return _choose_block(k, requested, q)
+    assert k % (2 * blocksize) == 0 and (k // 2) % 32 == 0, (k, blocksize)
+    return k
+
+
+def _k_block_stripe(k: int, requested: int, blocksize: int) -> int:
+    """K block for the m-outer kernel, whose scale rides as a FULL-K stripe
+    (BlockSpec (K/bs, BN) indexed (0, j)) so the 8-sublane scale-tile quantum
+    does not bind block_k.  Remaining constraints: x/packed lane+sublane
+    tiling (block_k >= 128, packed rows block_k/2 % 32 == 0) and whole quant
+    blocks (block_k % blocksize == 0) -> quantum max(128, blocksize)."""
+    q = max(128, blocksize)
     if k % q == 0:
         return _choose_block(k, requested, q)
     assert k % (2 * blocksize) == 0 and (k // 2) % 32 == 0, (k, blocksize)
@@ -551,13 +565,23 @@ def _matmul_pk_kernel(x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, *, blocks
 
     x = x_ref[:]
     bk = 2 * p_ref.shape[0]
+    sblk = bk // blocksize
+    # The scale arrives as an 8-ROW-ALIGNED window (f32 sublane quantum):
+    # for block_k >= 8*blocksize the window IS this step's rows (r0 == 0
+    # statically and the where-chain below is empty); for smaller block_k
+    # (sub-512, the small-kernel DMA lever) consecutive K steps share one
+    # window — same block index, fetched once — and each step selects its
+    # live rows in-register (8 - sblk jnp.wheres per step; Mosaic cannot
+    # prove dynamic sublane slices 8-aligned, so slicing is not an option).
+    s_rows = s_ref.shape[0]
+    r0 = (kk * sblk) % s_rows
     prec = jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
     acc = acc_ref[:]
     hb = blocksize // 2
     # decode ONE quant-block slice at a time and feed the MXU immediately:
     # small temps (Mosaic keeps them in VREGs) and VPU decode of slice b+1
     # software-pipelines against the MXU dot of slice b
-    for b in range(bk // blocksize):
+    for b in range(sblk):
         w = _pairs_weight_tile(p_ref.at[pl.ds(b * hb, hb), :], compute_dtype, variant)
         part = jnp.dot(
             x[:, b * blocksize : (b + 1) * blocksize],
@@ -565,7 +589,10 @@ def _matmul_pk_kernel(x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, *, blocks
             preferred_element_type=jnp.float32,
             precision=prec,
         )
-        acc = acc + part * s_ref[b][None, :]
+        srow = s_ref[b]
+        for cand in range(sblk, s_rows, sblk):
+            srow = jnp.where(r0 == cand, s_ref[cand + b], srow)
+        acc = acc + part * srow[None, :].astype(jnp.float32)
     acc_ref[:] = acc
 
     @pl.when(kk == nk - 1)
@@ -672,6 +699,8 @@ def matmul_fp4_pk(
             f"scale must be (K/blocksize, N) = {(k // blocksize, n)} for blocksize={blocksize}, "
             f"got {scale.shape}"
         )
+    if scale.dtype not in (jnp.float32, jnp.bfloat16):
+        raise ValueError(f"scale must be float32 or bfloat16, got {scale.dtype}")
     if out_dtype is None:
         out_dtype = x.dtype
     compute_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
@@ -679,7 +708,12 @@ def matmul_fp4_pk(
 
     block_n = _choose_block(n, block_n, 128)
     auto_bk = block_k is None
-    block_k = _k_block_pairk(k, 512 if auto_bk else block_k, blocksize)
+    requested_bk = 512 if auto_bk else block_k
+    # scale sublane quantum: 8 rows f32, 16 rows bf16 (compact scales)
+    sq = 16 if scale.dtype == jnp.bfloat16 else 8
+    # the m-inner (GEMM) path K-blocks its scale tile -> sq*blocksize
+    # quantum; the m-outer path below re-picks with the finer window chooser
+    block_k = _k_block_pairk(k, requested_bk, blocksize, sq)
     min_m = 8 if compute_dtype == jnp.float32 else 16
     if m < min_m:
         # full-dim M block: no masked rows and 1/8th the accumulator work
@@ -716,7 +750,7 @@ def matmul_fp4_pk(
     # weight tile.  Needs a full-M f32 accumulator stripe in VMEM.
     if nm > 1 and nm * block_m * block_n * 4 <= 48 * 2**20:
         if auto_bk:  # deeper K blocks amortize per-tile decode (measured ~2%)
-            block_k = _k_block_pairk(k, 1024, blocksize)
+            block_k = _k_block_pairk(k, 1024, blocksize, sq)
             nk = k // block_k
         kern = functools.partial(
             _matmul_pk_minner_kernel,
@@ -745,6 +779,14 @@ def matmul_fp4_pk(
         )(x, packed, scale, bias)
         return out[:m]
 
+    # m-outer path: block_k is free of the scale-tile quantum (the scale
+    # arrives in 8-row-aligned windows) — re-pick it with the finer chooser
+    block_k = _k_block_stripe(k, 512 if auto_bk else requested_bk, blocksize)
+    nk = k // block_k
+    sblk = block_k // blocksize
+    # scale window: this step's rows padded out to the 8-sublane quantum;
+    # full-K fallback shards keep their whole (possibly <8-row) scale block
+    s_rows = sblk if block_k == k else max(sq, sblk)
     kern = functools.partial(
         _matmul_pk_kernel,
         blocksize=blocksize,
@@ -760,7 +802,11 @@ def matmul_fp4_pk(
         in_specs=[
             pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_k // 2, block_n), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k // blocksize, block_n), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (s_rows, block_n),
+                lambda i, j, kk, sblk=sblk, s_rows=s_rows: (kk * sblk // s_rows, j),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
@@ -809,7 +855,8 @@ def dequantize_tpu_pk(packed, scale, *, blocksize=64, out_dtype=jnp.bfloat16, bl
     k = 2 * kp
     assert scale.shape == (k // blocksize, n)
     block_n = _choose_block(n, block_n, 128)
-    block_k = _k_block_pairk(k, block_k, blocksize)
+    sq = 16 if scale.dtype == jnp.bfloat16 else 8
+    block_k = _k_block_pairk(k, block_k, blocksize, sq)
     grid = (kp // (block_k // 2), n // block_n)
     kern = functools.partial(_dequant_pk_kernel, blocksize=blocksize, out_dtype=out_dtype, variant=variant)
     return pl.pallas_call(
