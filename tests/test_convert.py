@@ -25,6 +25,9 @@ from torch_bnb_fp4_tpu.models import (
 from torch_bnb_fp4_tpu.models import transformer as T
 from torch_bnb_fp4_tpu.ops import format as fmt
 
+# multi-second scan/compile tests: deselect with -m 'not slow' (<2min fast path)
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("k_shards", [1, 4])
 @pytest.mark.parametrize("code_name", ["fp4", "nf4"])
@@ -352,3 +355,27 @@ def test_real_checkpoint_full_user_path(tmp_path):
             generate(params1, cfg1, jnp.asarray([prompt], jnp.int32), max_new_tokens=5)
         )[0].tolist()
         assert res[uid].tokens == want_q, (uid, res[uid].tokens, want_q)
+
+
+def test_from_bnb_state_nf4_pairk_lut(rng):
+    """bnb NF4 flat state imports onto the pair-K LUT fast path: codes and
+    absmax grid preserved exactly; decode matches the bf16-rounded-table
+    golden, and tracks the f32 bnb dequant within one bf16 ulp."""
+    import ml_dtypes
+
+    from torch_bnb_fp4_tpu.convert import from_bnb_state
+    from torch_bnb_fp4_tpu.models import dequantize_weight
+
+    n_out, k_in = 96, 1024
+    w = (rng.standard_normal((n_out, k_in)) * 0.1).astype(np.float32)
+    packed_flat, absmax_flat = fmt.quantize_fp4(w, code=fmt.NF4_CODE)
+    q = from_bnb_state(packed_flat, absmax_flat, (n_out, k_in), quant_type="nf4")
+    assert q.layout == "pairk" and q.variant == "lut"
+    got = np.asarray(dequantize_weight(q, out_dtype=jnp.float32, interpret=True))
+    want_f32 = fmt.dequantize_fp4(packed_flat, absmax_flat, (n_out, k_in), code=fmt.NF4_CODE)
+    # exact vs the kernel's own spec
+    want_bf = fmt.unpack_tpu_pairk_lut(np.asarray(q.packed), np.asarray(q.absmax_hi), fmt.NF4_CODE)
+    np.testing.assert_array_equal(got, want_bf[: q.k_in, : q.n_out].T)
+    # and within one bf16 rounding of bnb's f32 dequant
+    rel = np.abs(got - want_f32).mean() / (np.abs(want_f32).mean() + 1e-12)
+    assert rel < 5e-3, rel

@@ -31,8 +31,9 @@ def test_quantize_linear_bad_inputs():
     w = np.zeros((128, 1024), np.float32)
     with pytest.raises(ValueError, match="quant_type"):
         L.quantize_linear(w, quant_type="int8")
-    with pytest.raises(ValueError, match="FP4-only"):
-        L.quantize_linear(w, quant_type="nf4", layout="pairk")
+    # nf4 + pairk is now the LUT fast path (no longer an error)
+    q = L.quantize_linear(w, quant_type="nf4", layout="pairk")
+    assert q.variant == "lut" and q.codebook is not None
     with pytest.raises(ValueError, match="k_shards"):
         L.quantize_linear(w, layout="pairk", k_shards=2)
     with pytest.raises(ValueError, match="variant"):

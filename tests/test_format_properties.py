@@ -84,6 +84,12 @@ def test_fast_pack_matches_golden(data, variant):
         fp, fs = quantize_pack_pairk(w, variant=variant, scale_dtype=sdt)
         np.testing.assert_array_equal(gp, fp)
         np.testing.assert_array_equal(gs.view(np.uint16), fs.view(np.uint16))
+    # LUT packer parity (arbitrary codebook path, NF4)
+    from torch_bnb_fp4_tpu.convert import quantize_pack_pairk_lut
+    gp, gs = fmt.pack_tpu_pairk_lut(w, fmt.NF4_CODE)
+    fp, fs = quantize_pack_pairk_lut(w, fmt.NF4_CODE)
+    np.testing.assert_array_equal(gp, fp)
+    np.testing.assert_array_equal(gs, fs)
 
 
 @settings(max_examples=30, deadline=None)

@@ -71,8 +71,24 @@ def test_no_bias(rng):
 
 
 def test_nf4(rng):
+    """NF4 defaults to the pair-K LUT fast path: golden is the bf16-rounded
+    codebook spec (unpack_tpu_pairk_lut), matched exactly."""
     q, w, b = _mklayer(rng, 128, 1024, quant_type="nf4")
-    assert q.codebook is not None
+    assert q.codebook is not None and q.layout == "pairk" and q.variant == "lut"
+    x = rng.standard_normal((2, 1024)).astype(np.float32)
+    y = q(jnp.asarray(x), interpret=True)
+    packed, scale = fmt.pack_tpu_pairk_lut(w, fmt.NF4_CODE)
+    golden = x @ fmt.unpack_tpu_pairk_lut(packed, scale, fmt.NF4_CODE) + b
+    np.testing.assert_allclose(np.asarray(y), golden, rtol=1e-4, atol=1e-4)
+    # the codebook values themselves only round once to bf16 (~2^-9 relative)
+    wq = fmt.dequantize_fp4(*fmt.quantize_fp4(w, code=fmt.NF4_CODE), w.shape, code=fmt.NF4_CODE)
+    rel = np.abs(fmt.unpack_tpu_pairk_lut(packed, scale, fmt.NF4_CODE).T - wq).mean() / np.abs(wq).mean()
+    assert rel < 5e-3, rel
+
+
+def test_nf4_splitk_f32_exact(rng):
+    """layout='splitk' keeps the f32-exact NF4 decode (bnb bit parity)."""
+    q, w, b = _mklayer(rng, 128, 1024, quant_type="nf4", layout="splitk")
     x = rng.standard_normal((2, 1024)).astype(np.float32)
     y = q(jnp.asarray(x), interpret=True)
     packed, absmax = fmt.quantize_fp4(w, code=fmt.NF4_CODE)

@@ -4,9 +4,13 @@ prefill+decode consistently."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from torch_bnb_fp4_tpu.models import KVCache, ModelConfig, forward, quantize_params
 from torch_bnb_fp4_tpu.models import transformer as T
+
+# multi-second scan/compile tests: deselect with -m 'not slow' (<2min fast path)
+pytestmark = pytest.mark.slow
 
 
 def test_chunked_attention_matches_dense(rng):

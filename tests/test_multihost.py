@@ -15,6 +15,9 @@ import sys
 
 import pytest
 
+# multi-second scan/compile tests: deselect with -m 'not slow' (<2min fast path)
+pytestmark = pytest.mark.slow
+
 
 def _free_port() -> int:
     with socket.socket() as s:

@@ -1,9 +1,11 @@
-"""NF4 end-to-end: whole model quantized with the NF4 codebook (splitk
-layout, codebook-as-data) — the capability the reference advertises but
-silently ignores (its runtime codebook argument is unused, SURVEY.md §2.4)."""
+"""NF4 end-to-end: whole model quantized with the NF4 codebook riding the
+pair-K LUT fast path (codebook-as-data) — the capability the reference
+advertises but silently ignores (its runtime codebook argument is unused,
+SURVEY.md §2.4)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from torch_bnb_fp4_tpu.models import (
     KVCache,
@@ -14,13 +16,17 @@ from torch_bnb_fp4_tpu.models import (
 )
 from torch_bnb_fp4_tpu.models import transformer as T
 
+# multi-second scan/compile tests: deselect with -m 'not slow' (<2min fast path)
+pytestmark = pytest.mark.slow
+
 CFG = ModelConfig.tiny_test(n_layers=1, quant_type="nf4")
 
 
 def test_nf4_model_forward_and_generate():
     weights = T.random_weights(CFG, seed=21)
     params = quantize_params(CFG, weights)
-    assert params.layers[0].wq.layout == "splitk"
+    assert params.layers[0].wq.layout == "pairk"
+    assert params.layers[0].wq.variant == "lut"
     assert params.layers[0].wq.codebook is not None
     tokens = jnp.asarray([[3, 1, 4]], jnp.int32)
     ref = np.asarray(T.reference_forward(CFG, weights, tokens))

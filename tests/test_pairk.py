@@ -299,3 +299,43 @@ def test_matmul_m_outer_small_block_k(rng, m):
     )
     golden = np.asarray(x, np.float32) @ fmt.unpack_tpu_pairk(packed, scale, variant="ramp")
     np.testing.assert_allclose(np.asarray(out, np.float32), golden, rtol=2e-2, atol=2e-3)
+
+
+def test_lut_decode_exact_all_bytes():
+    """Exhaustive: all 256 byte values decode through the pair-K LUT kernel
+    to exactly bf16(NF4_CODE[nibble]) — the per-byte spec of the 'lut'
+    variant (VERDICT r2 next #7)."""
+    import ml_dtypes
+
+    n = 128
+    bytes_grid = np.arange(256, dtype=np.uint8).reshape(2, 128)
+    packed = np.tile(bytes_grid, (32, 1))  # (64, 128): k=128, every byte twice
+    scale = np.ones((2, n), np.float32)
+    out = K.dequantize_tpu_pk(
+        jnp.asarray(packed), jnp.asarray(scale), jnp.asarray(fmt.NF4_CODE),
+        blocksize=64, out_dtype=jnp.float32, variant="lut", interpret=True,
+    )
+    want = fmt.unpack_tpu_pairk_lut(packed, scale, fmt.NF4_CODE, blocksize=64)
+    np.testing.assert_array_equal(np.asarray(out), want)
+    code_bf = fmt.NF4_CODE.astype(ml_dtypes.bfloat16).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(out)[0], code_bf[packed[0] & 0xF])
+    np.testing.assert_array_equal(np.asarray(out)[1], code_bf[packed[0] >> 4])
+
+
+@pytest.mark.parametrize("m", [1, 4, 64])
+def test_lut_matmul_matches_golden(rng, m):
+    """pair-K LUT matmul (GEMV / m-outer / m-inner paths) vs numpy golden for
+    an arbitrary non-NF4 codebook — the codebook-as-data capability the
+    reference advertises but ignores (gemv_fp4_optimized.cu:266,274)."""
+    n_out, k_in = 256, 1024
+    code = np.sort(rng.uniform(-1, 1, 16)).astype(np.float32)
+    w = (rng.standard_normal((n_out, k_in)) * 0.05).astype(np.float32)
+    packed, scale = fmt.pack_tpu_pairk_lut(w, code)
+    x = jnp.asarray(rng.standard_normal((m, k_in)) * 0.5, jnp.bfloat16)
+    out = K.matmul_fp4_pk(
+        x, jnp.asarray(packed), jnp.asarray(scale), None, jnp.asarray(code),
+        block_m=16 if m == 64 else 256, variant="lut", interpret=True,
+    )
+    golden = np.asarray(x, np.float32) @ fmt.unpack_tpu_pairk_lut(packed, scale, code)
+    # m=64 rides the m-inner prescale path (one extra bf16 rounding of w*s)
+    np.testing.assert_allclose(np.asarray(out, np.float32), golden, rtol=2e-2, atol=1e-2)

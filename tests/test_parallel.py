@@ -26,6 +26,9 @@ from torch_bnb_fp4_tpu.parallel import (
 )
 from torch_bnb_fp4_tpu.models import transformer as T
 
+# multi-second scan/compile tests: deselect with -m 'not slow' (<2min fast path)
+pytestmark = pytest.mark.slow
+
 CFG = ModelConfig.tiny_test()
 
 

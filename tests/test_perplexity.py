@@ -11,6 +11,9 @@ import pytest
 from torch_bnb_fp4_tpu.models import ModelConfig, dense_params, quantize_params
 from torch_bnb_fp4_tpu.models import transformer as T
 
+# multi-second scan/compile tests: deselect with -m 'not slow' (<2min fast path)
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, "examples")
 
 

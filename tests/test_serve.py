@@ -13,6 +13,9 @@ from torch_bnb_fp4_tpu.models import ModelConfig, generate, quantize_params
 from torch_bnb_fp4_tpu.models import transformer as T
 from torch_bnb_fp4_tpu.serve import Engine, EngineConfig, Request
 
+# multi-second scan/compile tests: deselect with -m 'not slow' (<2min fast path)
+pytestmark = pytest.mark.slow
+
 CFG = ModelConfig.tiny_test(n_layers=1)
 
 

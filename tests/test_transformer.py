@@ -12,6 +12,9 @@ import numpy as np
 import pytest
 
 from torch_bnb_fp4_tpu.models import (
+
+# multi-second scan/compile tests: deselect with -m 'not slow' (<2min fast path)
+pytestmark = pytest.mark.slow
     KVCache,
     ModelConfig,
     forward,

@@ -71,7 +71,7 @@ def from_bnb_state(
             "blocks straddle rows; requantize from full precision instead"
         )
     if layout is None:
-        layout = "pairk" if quant_type == "fp4" else "splitk"
+        layout = "pairk"  # nf4 imports ride the pair-K LUT fast path
     codes = fmt.unpack_flat(np.asarray(packed_flat)).reshape(n_out, k_in)
     absmax = np.asarray(absmax_flat, np.float32).reshape(n_out, k_in // blocksize)
 
@@ -86,12 +86,19 @@ def from_bnb_state(
         ap[:n_out, : k_in // blocksize] = absmax
         codes, absmax = cp, ap
 
-    if layout == "pairk":
-        assert quant_type == "fp4"
+    if layout == "pairk" and quant_type == "fp4":
         ct = fmt.RANK_REMAP[codes].T  # (K, N)
         packed = ((ct[1::2].astype(np.uint8) << 4) | ct[0::2]).astype(np.uint8)
         scale = (absmax.T / fmt.PAIRK_VALUE_SCALE).astype(np.float32)
         hi, lo = jnp.asarray(scale), None
+    elif layout == "pairk":
+        # nf4: bnb's table is sorted ascending, so the stored 4-bit codes
+        # ARE ranks — pair them directly, scale = absmax (codebook max 1.0).
+        # Decode gathers the bf16-rounded table (~2^-9 relative on the code
+        # values; the 4-bit codes and absmax grid are preserved exactly).
+        ct = codes.T  # (K, N)
+        packed = ((ct[1::2].astype(np.uint8) << 4) | ct[0::2]).astype(np.uint8)
+        hi, lo = jnp.asarray(absmax.T.astype(np.float32)), None
     else:
         ct = codes.T  # (K, N)
         half = ct.shape[0] // 2
@@ -109,7 +116,7 @@ def from_bnb_state(
         blocksize=blocksize,
         layout=layout,
         k_shards=1,
-        variant="exact",  # bnb codes are fixed: only the bit-exact decode fits
+        variant=("lut" if layout == "pairk" and quant_type == "nf4" else "exact"),
         codebook=None if quant_type == "fp4" else jnp.asarray(code),
     )
 

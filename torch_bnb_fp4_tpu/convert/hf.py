@@ -23,7 +23,7 @@ from ..models.linear import DenseLinear, QuantLinear, dense_linear
 from ..models.transformer import LayerParams, ModelConfig, ModelParams
 from ..ops import format as fmt
 from .checkpoint import save_checkpoint
-from .quantize import quantize_pack_pairk, quantize_pack_sharded
+from .quantize import quantize_pack_pairk, quantize_pack_pairk_lut, quantize_pack_sharded
 
 _LINEAR_SUFFIXES = (
     "self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
@@ -168,7 +168,7 @@ def _np_bf16(a: np.ndarray):
 def _np_quant_linear(cfg: ModelConfig, w: np.ndarray, bias: np.ndarray | None):
     """Quantize one linear into a numpy-leaf QuantLinear (no device copies —
     the streaming converter is a pure host tool)."""
-    layout = "pairk" if cfg.quant_type == "fp4" else "splitk"
+    layout = "pairk"  # nf4 rides the pair-K LUT fast path too
     code = fmt.FP4_CODE if cfg.quant_type == "fp4" else fmt.NF4_CODE
     w = _to_f32(w)
     n_out, k_in = w.shape
@@ -179,18 +179,19 @@ def _np_quant_linear(cfg: ModelConfig, w: np.ndarray, bias: np.ndarray | None):
         wp = np.zeros((n_pad, k_pad), np.float32)
         wp[:n_out, :k_in] = w
         w = wp
-    if layout == "pairk":
+    if cfg.quant_type == "nf4":
+        packed, hi = quantize_pack_pairk_lut(w, code, blocksize=cfg.blocksize)
+        lo, variant = None, "lut"
+    else:
         packed, hi = quantize_pack_pairk(
             w, blocksize=cfg.blocksize, variant=cfg.variant
         )
-        lo = None
-    else:
-        packed, hi, lo = quantize_pack_sharded(w, blocksize=cfg.blocksize, code=code)
+        lo, variant = None, cfg.variant
     return QuantLinear(
         packed=packed, absmax_hi=hi, absmax_lo=lo,
         bias=None if bias is None else _to_f32(bias),
         n_out=n_out, k_in=k_in, blocksize=cfg.blocksize, layout=layout,
-        k_shards=1, variant=cfg.variant if layout == "pairk" else "exact",
+        k_shards=1, variant=variant,
         codebook=None if cfg.quant_type == "fp4" else code,
     )
 

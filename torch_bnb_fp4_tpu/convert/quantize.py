@@ -109,6 +109,31 @@ def quantize_pack_pairk(w: np.ndarray, blocksize: int = 64, variant: str = "exac
     return packed, scale
 
 
+def quantize_pack_pairk_lut(w: np.ndarray, codebook: np.ndarray, blocksize: int = 64):
+    """Fast bit-identical equivalent of ``fmt.pack_tpu_pairk_lut`` (torch
+    ops): rank-pack against an arbitrary sorted 16-entry codebook (NF4)."""
+    import torch
+
+    w = np.ascontiguousarray(w, dtype=np.float32)
+    code = np.asarray(codebook, np.float32)
+    if code.shape != (16,) or not np.all(np.diff(code) > 0):
+        raise ValueError("codebook must be 16 strictly-increasing entries")
+    n_out, k_in = w.shape
+    if k_in % (2 * blocksize) != 0:
+        raise ValueError(f"K={k_in} not divisible by 2*blocksize")
+    code_bf = code.astype(fmt._BF16).astype(np.float32)
+    t = torch.from_numpy(w)
+    blocks = t.view(n_out, k_in // blocksize, blocksize)
+    absmax = blocks.abs().amax(dim=2)
+    safe = torch.where(absmax == 0, torch.ones_like(absmax), absmax)
+    normed = blocks / safe.unsqueeze(2)
+    codes = _nearest_codes_torch(normed.reshape(n_out, k_in), code_bf)
+    ct = codes.T.contiguous()  # (K, N)
+    packed = ((ct[1::2] << 4) | ct[0::2]).numpy().astype(np.uint8)
+    scale = np.ascontiguousarray(absmax.T.contiguous().numpy())
+    return packed, scale
+
+
 def repack_k_shards(
     packed: np.ndarray,
     absmax_hi: np.ndarray,

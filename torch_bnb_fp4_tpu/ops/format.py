@@ -395,6 +395,53 @@ def unpack_tpu_pairk(packed: np.ndarray, scale: np.ndarray, blocksize: int = DEF
     return (ivals * scales).astype(np.float32)
 
 
+def pack_tpu_pairk_lut(w: np.ndarray, codebook: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE):
+    """Quantize + pack against an ARBITRARY sorted 16-entry codebook (NF4 or
+    any bnb ``QuantState.code``) into the pair-K byte layout.
+
+    The stored nibble is the code INDEX (== rank: the table must be strictly
+    increasing, which bnb codebooks are).  The kernel decodes by gathering
+    the codebook's bf16 BIT PATTERNS (two 16-bit gathers per byte assembled
+    into one i32 lane — same pltpu.bitcast landing as the FP4 variants), so
+    decode speed is codebook-independent.  ``scale`` f32 (K/bs, N) = absmax
+    (bnb normalizes codebooks to max |v| = 1; value = code[nibble] * absmax,
+    reference semantics — but honoring the table the reference ignores,
+    gemv_fp4_optimized.cu:266,274).
+    """
+    w = np.asarray(w, dtype=np.float32)
+    code = np.asarray(codebook, np.float32)
+    if code.shape != (16,):
+        raise ValueError(f"codebook must have 16 entries, got {code.shape}")
+    if not np.all(np.diff(code) > 0):
+        raise ValueError("codebook must be strictly increasing (bnb tables are)")
+    n_out, k_in = w.shape
+    if k_in % (2 * blocksize) != 0:
+        raise ValueError(f"K={k_in} must be divisible by 2*blocksize={2 * blocksize}")
+    # quantize against the bf16-ROUNDED table: the kernel multiplies by the
+    # bf16 bit patterns, so nearest-neighbor is taken w.r.t. what decode uses
+    code_bf = code.astype(_BF16).astype(np.float32)
+    codes, absmax = quantize_codes(w, blocksize, code_bf)
+    ct = codes.reshape(n_out, k_in).T  # (K, N)
+    packed = ((ct[1::2].astype(np.uint8) << 4) | ct[0::2]).astype(np.uint8)
+    scale = np.ascontiguousarray(absmax.reshape(n_out, k_in // blocksize).T)
+    return np.ascontiguousarray(packed), scale
+
+
+def unpack_tpu_pairk_lut(packed: np.ndarray, scale: np.ndarray, codebook: np.ndarray, blocksize: int = DEFAULT_BLOCKSIZE) -> np.ndarray:
+    """Golden dequantize of the pair-K LUT layout -> Wt float32 (K, N).
+
+    Spec mirrors the kernel exactly: value = bf16(code[nibble]) * scale."""
+    code_bf = np.asarray(codebook, np.float32).astype(_BF16).astype(np.float32)
+    kp, n = packed.shape
+    k = 2 * kp
+    ct = np.empty((k, n), dtype=np.uint8)
+    ct[0::2] = packed & 0xF
+    ct[1::2] = packed >> 4
+    vals = code_bf[ct]
+    scales = np.repeat(scale.astype(np.float32), blocksize, axis=0)
+    return (vals * scales).astype(np.float32)
+
+
 def tpu_layout_from_bnb(packed_flat: np.ndarray, absmax_flat: np.ndarray, shape, blocksize: int = DEFAULT_BLOCKSIZE):
     """Convert bnb flat packing (packed (numel//2,), absmax (numel//bs,)) for a
     weight of ``shape`` (N_out, K_in) into the TPU layout — exact, no requant."""

@@ -546,17 +546,41 @@ def _decode_pairs(x_u8_as_i32: jax.Array, variant: str = "exact") -> jax.Array:
     return bits | ((t & 0x00080008) << 12)
 
 
-def _pairs_weight_tile(p_ref, compute_dtype, variant="exact"):
+def make_pairk_lut(codebook) -> jax.Array:
+    """(1, 128) i32 table: bf16 BIT PATTERNS of a 16-entry codebook in lanes
+    [0, 16) — the gather source for the pair-K "lut" decode (arbitrary
+    codebooks, e.g. NF4).  jnp-native: the codebook may be a traced operand
+    (it is a QuantLinear pytree leaf)."""
+    cb = jnp.asarray(codebook, jnp.float32).astype(jnp.bfloat16).reshape(16)
+    bits = jax.lax.bitcast_convert_type(cb, jnp.uint16).astype(jnp.int32)
+    return jnp.pad(bits.reshape(1, 16), ((0, 0), (0, 112)))
+
+
+def _pairs_weight_tile(p_ref, compute_dtype, variant="exact", tab=None):
     """packed-bytes ref block (BK/2, BN) -> bf16/f32 weight-value tile
-    (BK, BN) holding 192*code (scale NOT applied)."""
-    bits = _decode_pairs(p_ref[:].astype(jnp.int32), variant)
+    (BK, BN) holding the codebook values (scale NOT applied).
+
+    FP4-family variants build the bf16 bits arithmetically (_decode_pairs);
+    ``variant="lut"`` gathers the 16 bf16 bit patterns of an arbitrary
+    codebook from ``tab`` (two 16-bit gathers per byte assembled into one
+    i32 lane) — this is what makes NF4 ride the same fast layout, honoring
+    the codebook argument the reference validates but ignores
+    (gemv_fp4_optimized.cu:266,274)."""
+    if variant == "lut":
+        X = p_ref[:].astype(jnp.int32)
+        t = tab[:]  # tab may be a VMEM ref or an array
+        blo = _gather_decode(X & 0xF, t)
+        bhi = _gather_decode((X >> 4) & 0xF, t)
+        bits = blo | (bhi << 16)
+    else:
+        bits = _decode_pairs(p_ref[:].astype(jnp.int32), variant)
     w = pltpu.bitcast(bits, jnp.bfloat16)  # (BK, BN), K-contiguous
     if compute_dtype == jnp.float32:
-        w = w.astype(jnp.float32)  # integer values <= 192: exact
+        w = w.astype(jnp.float32)  # FP4-family integer values <= 192: exact
     return w
 
 
-def _matmul_pk_kernel(x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, *, blocksize, nk, out_dtype, compute_dtype, has_bias, variant):
+def _matmul_pk_kernel(tab_ref, x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, *, blocksize, nk, out_dtype, compute_dtype, has_bias, variant):
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
@@ -582,7 +606,7 @@ def _matmul_pk_kernel(x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, *, blocks
     # small temps (Mosaic keeps them in VREGs) and VPU decode of slice b+1
     # software-pipelines against the MXU dot of slice b
     for b in range(sblk):
-        w = _pairs_weight_tile(p_ref.at[pl.ds(b * hb, hb), :], compute_dtype, variant)
+        w = _pairs_weight_tile(p_ref.at[pl.ds(b * hb, hb), :], compute_dtype, variant, tab_ref)
         part = jnp.dot(
             x[:, b * blocksize : (b + 1) * blocksize],
             w,
@@ -603,7 +627,7 @@ def _matmul_pk_kernel(x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, *, blocks
         out_ref[:] = res.astype(out_dtype)
 
 
-def _matmul_pk_minner_kernel(x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, w_ref, *, blocksize, nk, out_dtype, compute_dtype, has_bias, block_m, variant):
+def _matmul_pk_minner_kernel(tab_ref, x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, w_ref, *, blocksize, nk, out_dtype, compute_dtype, has_bias, block_m, variant):
     """m-INNERMOST variant (grid (n, k, m)): each weight tile is decoded ONCE
     into scratch and reused for every M block — decode cost is one weight
     pass regardless of M (the GEMM/prefill path; the reference's qlinear
@@ -627,7 +651,7 @@ def _matmul_pk_minner_kernel(x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, w_
         # near vector registers instead of spilling a whole (BK, BN) tile
         hb = blocksize // 2
         for b in range(2 * p_ref.shape[0] // blocksize):
-            w = _pairs_weight_tile(p_ref.at[pl.ds(b * hb, hb), :], w_ref.dtype, variant)
+            w = _pairs_weight_tile(p_ref.at[pl.ds(b * hb, hb), :], w_ref.dtype, variant, tab_ref)
             w_ref[pl.ds(b * blocksize, blocksize), :] = (
                 w * s_ref[b][None, :].astype(w_ref.dtype)
             )
@@ -660,6 +684,7 @@ def matmul_fp4_pk(
     packed: jax.Array,
     scale: jax.Array,
     bias: jax.Array | None = None,
+    codebook: jax.Array | None = None,
     *,
     blocksize: int = 64,
     out_dtype=None,
@@ -683,8 +708,15 @@ def matmul_fp4_pk(
     ``x`` may be f32, bf16, or f16 — f16 computes in bf16 (see matmul_fp4's
     dtype contract), f32 uses full-precision dots.
     """
-    if variant not in fmt.PAIRK_VARIANTS:
-        raise ValueError(f"unknown pairk variant {variant!r}; expected one of {fmt.PAIRK_VARIANTS}")
+    if variant == "lut":
+        if codebook is None:
+            raise ValueError("variant='lut' requires a 16-entry codebook array")
+    elif variant not in fmt.PAIRK_VARIANTS:
+        raise ValueError(
+            f"unknown pairk variant {variant!r}; expected one of {fmt.PAIRK_VARIANTS} or 'lut'"
+        )
+    elif codebook is not None:
+        raise ValueError("codebook is only used with variant='lut'")
     if interpret is None:
         interpret = _interpret_default()
     if packed.ndim != 2 or packed.dtype != jnp.uint8:
@@ -737,6 +769,9 @@ def matmul_fp4_pk(
 
     has_bias = bias is not None
     bias = jnp.zeros((1, n), jnp.float32) if bias is None else bias.reshape(1, n)
+    # decode table: bf16 bit patterns for "lut", dummy otherwise (a fixed
+    # operand keeps one kernel signature for all variants)
+    tab = make_pairk_lut(codebook) if variant == "lut" else jnp.zeros((1, 128), jnp.int32)
     cost = pl.CostEstimate(
         flops=2 * mp * k * n,
         bytes_accessed=kp * n + (k // blocksize) * n * 4 + mp * k * x.dtype.itemsize,
@@ -762,6 +797,7 @@ def matmul_fp4_pk(
             kern,
             grid=(n // block_n, nk, nm),
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # decode table (1, 128)
                 pl.BlockSpec((block_m, block_k), lambda j, kk, mi: (mi, kk), memory_space=pltpu.VMEM),
                 pl.BlockSpec((block_k // 2, block_n), lambda j, kk, mi: (kk, j), memory_space=pltpu.VMEM),
                 pl.BlockSpec((block_k // blocksize, block_n), lambda j, kk, mi: (kk, j), memory_space=pltpu.VMEM),
@@ -776,7 +812,7 @@ def matmul_fp4_pk(
             cost_estimate=cost,
             compiler_params=cparams,
             interpret=interpret,
-        )(x, packed, scale, bias)
+        )(tab, x, packed, scale, bias)
         return out[:m]
 
     # m-outer path: block_k is free of the scale-tile quantum (the scale
@@ -800,6 +836,7 @@ def matmul_fp4_pk(
         kern,
         grid=(nm, n // block_n, nk),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # decode table (1, 128)
             pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_k // 2, block_n), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
             pl.BlockSpec(
@@ -818,26 +855,26 @@ def matmul_fp4_pk(
             vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret,
-    )(x, packed, scale, bias)
+    )(tab, x, packed, scale, bias)
     return out[:m]
 
 
-def gemv_fp4_pk(x, packed, scale, bias=None, *, blocksize=64, out_dtype=None, block_k=512, block_n=8192, interpret=None, variant):
+def gemv_fp4_pk(x, packed, scale, bias=None, codebook=None, *, blocksize=64, out_dtype=None, block_k=512, block_n=8192, interpret=None, variant):
     """Batch-1 pair-K decode fast path (v5e sweet spot: block_k 512, widest N
     block that fits).  Measured 4096x14336 vs 153.5us bf16 matvec: 93.5us
     exact / 73.7us zramp / 50.7us ramp (see _decode_pairs)."""
     if x.shape[0] != 1:
         raise ValueError(f"gemv_fp4_pk is the batch-1 fast path; got x.shape={x.shape} (use matmul_fp4_pk)")
     return matmul_fp4_pk(
-        x, packed, scale, bias,
+        x, packed, scale, bias, codebook,
         blocksize=blocksize, out_dtype=out_dtype,
         block_m=8, block_k=block_k, block_n=block_n, interpret=interpret,
         variant=variant,
     )
 
 
-def _dequant_pk_kernel(p_ref, s_ref, o_ref, *, blocksize, out_dtype, variant):
-    w = _pairs_weight_tile(p_ref, jnp.float32, variant)  # (BK, BN) 192*code, f32 exact
+def _dequant_pk_kernel(tab_ref, p_ref, s_ref, o_ref, *, blocksize, out_dtype, variant):
+    w = _pairs_weight_tile(p_ref, jnp.float32, variant, tab_ref)  # (BK, BN) 192*code, f32 exact
     s = jnp.repeat(s_ref[:], blocksize, axis=0)  # (BK, BN)
     o_ref[:] = (w * s).astype(out_dtype)
 
@@ -846,7 +883,7 @@ def _dequant_pk_kernel(p_ref, s_ref, o_ref, *, blocksize, out_dtype, variant):
     jax.jit,
     static_argnames=("blocksize", "out_dtype", "block_k", "block_n", "interpret", "variant"),
 )
-def dequantize_tpu_pk(packed, scale, *, blocksize=64, out_dtype=jnp.bfloat16, block_k=1024, block_n=1024, interpret=None, variant):
+def dequantize_tpu_pk(packed, scale, codebook=None, *, blocksize=64, out_dtype=jnp.bfloat16, block_k=1024, block_n=1024, interpret=None, variant):
     """Materialize Wt (K, N) from the pair-K layout (golden:
     ops/format.unpack_tpu_pairk)."""
     if interpret is None:
@@ -858,11 +895,13 @@ def dequantize_tpu_pk(packed, scale, *, blocksize=64, out_dtype=jnp.bfloat16, bl
     sq = 16 if scale.dtype == jnp.bfloat16 else 8
     block_k = _k_block_pairk(k, block_k, blocksize, sq)
     grid = (kp // (block_k // 2), n // block_n)
+    tab = make_pairk_lut(codebook) if variant == "lut" else jnp.zeros((1, 128), jnp.int32)
     kern = functools.partial(_dequant_pk_kernel, blocksize=blocksize, out_dtype=out_dtype, variant=variant)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # decode table (1, 128)
             pl.BlockSpec((block_k // 2, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_k // blocksize, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ],
@@ -870,7 +909,7 @@ def dequantize_tpu_pk(packed, scale, *, blocksize=64, out_dtype=jnp.bfloat16, bl
         out_shape=jax.ShapeDtypeStruct((k, n), out_dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(packed, scale)
+    )(tab, packed, scale)
 
 
 # ---------------------------------------------------------------------------
