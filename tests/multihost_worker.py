@@ -99,3 +99,41 @@ close(full2, want2)
 
 print(f"MULTIHOST_OK pid={pid} devices={jax.device_count()} "
       f"mesh=data{n_data}xmodel{n_model}", flush=True)
+
+# ---------------------------------------------------------------------------
+# Engine across processes (VERDICT r2 next #3): the SAME continuous-batching
+# host loop runs in lockstep on every process over the process-spanning
+# data x model mesh — per-host request feeding (identical shared stream),
+# one PRNG seed, slot state kept consistent by Engine._host_fetch's
+# allgather of the data-sharded per-slot tokens.  Greedy completions must
+# match the locally-computed single-process oracle token-for-token.
+# ---------------------------------------------------------------------------
+from torch_bnb_fp4_tpu.models import generate
+from torch_bnb_fp4_tpu.serve import Engine, EngineConfig, Request
+
+eng = Engine(
+    gparams, cfg,
+    EngineConfig(max_batch=2 * n_data, max_len=16, inner_steps=2),
+    mesh=mesh,
+)
+reqs = [
+    Request(uid=1, prompt=[1, 2, 3], max_new_tokens=5),
+    Request(uid=2, prompt=[4, 5], max_new_tokens=6),
+    Request(uid=3, prompt=[6, 7, 8, 9], max_new_tokens=4),
+    Request(uid=4, prompt=[2, 2], max_new_tokens=3),
+    Request(uid=5, prompt=[7], max_new_tokens=4),  # > max_batch: slot recycling
+]
+res = eng.run(reqs)
+for r in reqs:
+    want = np.asarray(
+        generate(params, cfg, jnp.asarray([r.prompt], jnp.int32), max_new_tokens=r.max_new_tokens)
+    )[0].tolist()
+    got = res[r.uid].tokens
+    assert got == want, (pid, r.uid, got, want)
+
+# cross-process agreement on the full completion set (belt and braces)
+blob = np.asarray([t for r in reqs for t in res[r.uid].tokens], np.int32)
+all_blobs = multihost_utils.process_allgather(blob)
+assert (np.asarray(all_blobs) == blob[None, :]).all(), "processes disagree on completions"
+
+print(f"MULTIHOST_ENGINE_OK pid={pid} completions={len(res)}", flush=True)

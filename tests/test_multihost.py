@@ -48,3 +48,4 @@ def test_two_process_tp_forward():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert "MULTIHOST_OK" in out, out
+        assert "MULTIHOST_ENGINE_OK" in out, out

@@ -339,3 +339,70 @@ def test_lut_matmul_matches_golden(rng, m):
     golden = np.asarray(x, np.float32) @ fmt.unpack_tpu_pairk_lut(packed, scale, code)
     # m=64 rides the m-inner prescale path (one extra bf16 rounding of w*s)
     np.testing.assert_allclose(np.asarray(out, np.float32), golden, rtol=2e-2, atol=1e-2)
+
+
+def _w4a8_golden(x_f32, packed, scale, variant, block_k, blocksize=64):
+    """numpy mirror of _matmul_pk_w4a8_kernel's per-tile quantization."""
+    ivals = fmt.unpack_tpu_pairk(packed, np.ones_like(scale), variant=variant)  # 192*code values
+    k, n = ivals.shape
+    m = x_f32.shape[0]
+    acc = np.zeros((m, n), np.float32)
+    for k0 in range(0, k, block_k):
+        st = scale[k0 // blocksize : (k0 + block_k) // blocksize].astype(np.float32)
+        g = st.max(axis=0, keepdims=True)
+        g = np.where(g == 0, np.float32(1.0), g)
+        f = (st / g) * np.float32(127.0 / 192.0)
+        w8 = np.round(ivals[k0 : k0 + block_k] * np.repeat(f, blocksize, axis=0)).astype(np.int8)
+        xt = x_f32[:, k0 : k0 + block_k].astype(np.float32)
+        r = np.abs(xt).max(axis=1, keepdims=True)
+        r = np.where(r == 0, np.float32(1.0), r)
+        x8 = np.round(xt * (np.float32(127.0) / r)).astype(np.int8)
+        d = x8.astype(np.int32) @ w8.astype(np.int32)
+        acc += d.astype(np.float32) * (r / np.float32(127.0)) * (g * np.float32(192.0 / 127.0))
+    return acc
+
+
+def test_w4a8_matches_numpy_golden(rng):
+    """int8-activation m-inner kernel: exact vs a numpy mirror of its own
+    quantization (int dots are exact; f32 rescale order matches)."""
+    n_out, k_in, m = 256, 1024, 64
+    w = (rng.standard_normal((n_out, k_in)) * 0.05).astype(np.float32)
+    packed, scale = fmt.pack_tpu_pairk(w, variant="ramp")
+    x = jnp.asarray(rng.standard_normal((m, k_in)) * 0.5, jnp.bfloat16)
+    out = K.matmul_fp4_pk(
+        x, jnp.asarray(packed), jnp.asarray(scale),
+        block_m=16, block_k=512, variant="ramp", a8=True, out_dtype=jnp.float32,
+        interpret=True,
+    )
+    golden = _w4a8_golden(np.asarray(x, np.float32), packed, scale, "ramp", 512)
+    np.testing.assert_allclose(np.asarray(out, np.float32), golden, rtol=1e-5, atol=1e-5)
+
+
+def test_w4a8_error_close_to_bf16_path(rng):
+    """The extra int8 activation/weight requantization adds only a modest
+    error on top of FP4's own (~6%) quantization error."""
+    n_out, k_in, m = 512, 2048, 64
+    w = (rng.standard_normal((n_out, k_in)) / np.sqrt(k_in)).astype(np.float32)
+    packed, scale = fmt.pack_tpu_pairk(w, variant="ramp")
+    x = jnp.asarray(rng.standard_normal((m, k_in)), jnp.bfloat16)
+    y_ref = np.asarray(x, np.float32) @ w.T
+    args = (x, jnp.asarray(packed), jnp.asarray(scale))
+    y_bf = np.asarray(K.matmul_fp4_pk(*args, block_m=16, variant="ramp", a8=False, interpret=True), np.float32)
+    y_a8 = np.asarray(K.matmul_fp4_pk(*args, block_m=16, variant="ramp", a8=True, interpret=True), np.float32)
+    e_bf = np.abs(y_bf - y_ref).mean()
+    e_a8 = np.abs(y_a8 - y_ref).mean()
+    assert e_a8 < e_bf * 1.25, (e_a8, e_bf)
+
+
+def test_w4a8_rejected_for_f32_and_lut(rng):
+    n_out, k_in = 128, 1024
+    w = (rng.standard_normal((n_out, k_in)) * 0.05).astype(np.float32)
+    packed, scale = fmt.pack_tpu_pairk(w, variant="ramp")
+    xf = jnp.asarray(np.ones((4, k_in)), jnp.float32)
+    with pytest.raises(ValueError, match="bf16"):
+        K.matmul_fp4_pk(xf, jnp.asarray(packed), jnp.asarray(scale), variant="ramp", a8=True, interpret=True)
+    pl_, sl_ = fmt.pack_tpu_pairk_lut(w, fmt.NF4_CODE)
+    xb = jnp.asarray(np.ones((4, k_in)), jnp.bfloat16)
+    with pytest.raises(ValueError, match="FP4-family"):
+        K.matmul_fp4_pk(xb, jnp.asarray(pl_), jnp.asarray(sl_), None, jnp.asarray(fmt.NF4_CODE),
+                        variant="lut", a8=True, interpret=True)

@@ -12,9 +12,6 @@ import numpy as np
 import pytest
 
 from torch_bnb_fp4_tpu.models import (
-
-# multi-second scan/compile tests: deselect with -m 'not slow' (<2min fast path)
-pytestmark = pytest.mark.slow
     KVCache,
     ModelConfig,
     forward,
@@ -23,6 +20,9 @@ pytestmark = pytest.mark.slow
     random_weights,
     reference_forward,
 )
+
+# multi-second scan/compile tests: deselect with -m 'not slow' (<2min fast path)
+pytestmark = pytest.mark.slow
 
 CFG = ModelConfig.tiny_test()
 

@@ -675,9 +675,66 @@ def _matmul_pk_minner_kernel(tab_ref, x_ref, p_ref, s_ref, bias_ref, out_ref, ac
         out_ref[:] = res.astype(out_dtype)
 
 
+def _matmul_pk_w4a8_kernel(tab_ref, x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, w8_ref, g_ref, *, blocksize, nk, out_dtype, has_bias, block_m, variant):
+    """w4a8 m-inner variant: int8 x int8 -> int32 dots on the MXU's 2x-rate
+    path (the regime where a bf16 fused-dequant GEMM tops out at parity-
+    minus-decode, PERF_NOTES round-2 prefill decomposition).
+
+    Weight tile (once per (j, kk), amortized over all M blocks): decode FP4,
+    requantize per COLUMN to int8 against Gn = 192*max_b(scale_b) — a TIGHT
+    bound, since each 64-row quant block attains its absmax, so the column
+    max over the tile IS Gn.  Activations: int8 per row per K-tile
+    (r = row absmax).  Rescale: y += dot_i32 * (r/127) * (Gn/127).
+    int32 is exact: 127*127*block_k <= 3.3e7 << 2^31.
+
+    This is the principled version of the reference's reduced-precision
+    qlinear (torch_fp4.cpp:64-103, error ~0.35 documented at
+    __init__.py:370-372): instead of computing in half precision, both
+    operands are affinely requantized and the dot is EXACT integer math —
+    measured error stays within a few percent of the bf16 path's.
+    """
+    kk, mi = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(mi == 0)
+    def _():
+        s = s_ref[:].astype(jnp.float32)  # (sblk, BN)
+        g = jnp.max(s, axis=0, keepdims=True)
+        g = jnp.where(g == 0.0, 1.0, g)
+        g_ref[:] = g * (fmt.PAIRK_VALUE_SCALE / 127.0)  # Gn/127
+        f = (s / g) * (127.0 / fmt.PAIRK_VALUE_SCALE)  # s_b*127/Gn
+        hb = blocksize // 2
+        for b in range(2 * p_ref.shape[0] // blocksize):
+            wv = _pairs_weight_tile(p_ref.at[pl.ds(b * hb, hb), :], jnp.float32, variant, tab_ref)
+            w8_ref[pl.ds(b * blocksize, blocksize), :] = jnp.round(
+                wv * f[b][None, :]
+            ).astype(jnp.int8)
+
+    row = pl.ds(mi * block_m, block_m)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[row, :] = jnp.zeros((block_m, acc_ref.shape[1]), jnp.float32)
+
+    x = x_ref[:].astype(jnp.float32)
+    r = jnp.max(jnp.abs(x), axis=1, keepdims=True)  # per-row, per-K-tile
+    r = jnp.where(r == 0.0, 1.0, r)
+    x8 = jnp.round(x * (127.0 / r)).astype(jnp.int8)
+    d = jax.lax.dot_general(
+        x8, w8_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    acc_ref[row, :] += d.astype(jnp.float32) * (r / 127.0) * g_ref[:]
+
+    @pl.when(kk == nk - 1)
+    def _():
+        res = acc_ref[row, :]
+        if has_bias:
+            res = res + bias_ref[:].astype(jnp.float32)
+        out_ref[:] = res.astype(out_dtype)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("blocksize", "out_dtype", "block_m", "block_k", "block_n", "interpret", "variant"),
+    static_argnames=("blocksize", "out_dtype", "block_m", "block_k", "block_n", "interpret", "variant", "a8"),
 )
 def matmul_fp4_pk(
     x: jax.Array,
@@ -693,6 +750,7 @@ def matmul_fp4_pk(
     block_n: int = 2048,
     interpret: bool | None = None,
     variant: str,
+    a8: bool | None = None,
 ) -> jax.Array:
     """Fused pair-K dequant-matmul: y[M, N] = x[M, K] @ Wt[K, N] (+ bias).
 
@@ -707,6 +765,15 @@ def matmul_fp4_pk(
     1024 for the m-inner GEMM path (both measured best on v5e).
     ``x`` may be f32, bf16, or f16 — f16 computes in bf16 (see matmul_fp4's
     dtype contract), f32 uses full-precision dots.
+
+    ``a8``: int8-activation path (w4a8) for the MXU-bound GEMM regime — both
+    operands requantized to int8, exact int32 dots on the MXU's 2x-rate
+    path, f32 rescale (see _matmul_pk_w4a8_kernel).  None = auto: on for
+    bf16 compute at M >= 512 with an FP4-family variant — measured
+    (benchmarks/w4a8_bench.py): M=2048 245 TFLOP/s = 1.32x XLA dense bf16
+    with mean-abs-error 1.007x the bf16 path's; False forces the bf16 path
+    (bit-stable vs batch size), True forces int8 (requires bf16 compute,
+    non-lut variant).
     """
     if variant == "lut":
         if codebook is None:
@@ -781,18 +848,47 @@ def matmul_fp4_pk(
         dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         vmem_limit_bytes=100 * 2**20,
     )
+    if a8 is None:
+        # auto: the int8 path wins where the GEMM is MXU-bound — measured
+        # (benchmarks/w4a8_bench.py, 4096x14336): M=2048 a8 981us = 245
+        # TFLOP/s = 1.32x XLA dense bf16 (bf16 fused path: 0.89x), M=512
+        # a8 beats the bf16 fused path, M=256 loses to it (requant pass not
+        # yet amortized) -> threshold 512
+        a8 = m >= 512 and compute_dtype == jnp.bfloat16 and variant != "lut"
+    elif a8:
+        if compute_dtype != jnp.bfloat16:
+            raise ValueError("a8=True requires bf16 compute (f32 keeps full-precision dots)")
+        if variant == "lut":
+            raise ValueError("a8 requires an FP4-family variant (lut codebook range is data)")
+
     # m-innermost when several M blocks share the weights: decode once per
     # weight tile.  Needs a full-M f32 accumulator stripe in VMEM.
     if nm > 1 and nm * block_m * block_n * 4 <= 48 * 2**20:
         if auto_bk:  # deeper K blocks amortize per-tile decode (measured ~2%)
             block_k = _k_block_pairk(k, 1024, blocksize, sq)
             nk = k // block_k
-        kern = functools.partial(
-            _matmul_pk_minner_kernel,
-            blocksize=blocksize, nk=nk, out_dtype=out_dtype,
-            compute_dtype=compute_dtype, has_bias=has_bias, block_m=block_m,
-            variant=variant,
-        )
+        if a8:
+            kern = functools.partial(
+                _matmul_pk_w4a8_kernel,
+                blocksize=blocksize, nk=nk, out_dtype=out_dtype,
+                has_bias=has_bias, block_m=block_m, variant=variant,
+            )
+            scratches = [
+                pltpu.VMEM((nm * block_m, block_n), jnp.float32),
+                pltpu.VMEM((block_k, block_n), jnp.int8),
+                pltpu.VMEM((1, block_n), jnp.float32),
+            ]
+        else:
+            kern = functools.partial(
+                _matmul_pk_minner_kernel,
+                blocksize=blocksize, nk=nk, out_dtype=out_dtype,
+                compute_dtype=compute_dtype, has_bias=has_bias, block_m=block_m,
+                variant=variant,
+            )
+            scratches = [
+                pltpu.VMEM((nm * block_m, block_n), jnp.float32),
+                pltpu.VMEM((block_k, block_n), jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32),
+            ]
         out = pl.pallas_call(
             kern,
             grid=(n // block_n, nk, nm),
@@ -805,10 +901,7 @@ def matmul_fp4_pk(
             ],
             out_specs=pl.BlockSpec((block_m, block_n), lambda j, kk, mi: (mi, j), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
-            scratch_shapes=[
-                pltpu.VMEM((nm * block_m, block_n), jnp.float32),
-                pltpu.VMEM((block_k, block_n), jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32),
-            ],
+            scratch_shapes=scratches,
             cost_estimate=cost,
             compiler_params=cparams,
             interpret=interpret,

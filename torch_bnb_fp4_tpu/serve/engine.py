@@ -144,10 +144,28 @@ class Engine:
         self._decode = jax.jit(self._decode_fn, static_argnames=("n",))
         self._prefill = jax.jit(self._prefill_fn)
         self._key = jax.random.PRNGKey(ecfg.seed)
+        # multi-host: every process runs this SAME host loop in lockstep (SPMD
+        # over a process-spanning mesh).  Requests must be submitted
+        # identically on every process (per-host feeding of a shared stream);
+        # host state then stays consistent because sampling keys derive from
+        # one seed and every fetched token goes through _host_fetch, which
+        # allgathers data-sharded outputs (decode slots shard over the data
+        # axis, so each process only holds its local slots' tokens).
+        self._multiproc = jax.process_count() > 1
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
         return k
+
+    def _host_fetch(self, x) -> np.ndarray:
+        """Device -> host for engine bookkeeping, multi-host safe: sharded
+        outputs (per-slot tokens on a data-sharded mesh) are allgathered so
+        every process sees every slot."""
+        if self._multiproc:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
 
     # -- jitted programs ---------------------------------------------------
 
@@ -276,12 +294,13 @@ class Engine:
                 self.params, jnp.asarray(padded), self.cache,
                 jnp.int32(slot), jnp.int32(lp), self._next_key(),
             )
+            first = int(self._host_fetch(first))
             self.slot_req[slot] = req
-            self.slot_tokens[slot] = [int(first)]
-            self.slot_cur[slot] = int(first)
+            self.slot_tokens[slot] = [first]
+            self.slot_cur[slot] = first
             self.slot_t0[slot] = time.perf_counter()
             if self.on_token is not None:
-                self.on_token(req.uid, int(first))
+                self.on_token(req.uid, first)
             admitted += 1
             log.debug("admit uid=%d slot=%d prompt_len=%d", req.uid, slot, len(req.prompt))
 
@@ -340,7 +359,7 @@ class Engine:
         toks, self.cache = self._decode(
             self.params, tokens, self.cache, jnp.asarray(mask), self._next_key(), n=n,
         )
-        toks = np.asarray(toks)  # device sync: the tick latency includes it
+        toks = self._host_fetch(toks)  # device sync: the tick latency includes it
         self.step_times.append((time.perf_counter() - t_tick) / n)
         for i in active:
             req = self.slot_req[i]
