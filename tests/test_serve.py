@@ -239,3 +239,42 @@ def test_step_latency_percentiles(params):
     eng.run([Request(uid=1, prompt=[5, 6], max_new_tokens=6)])
     s = eng.stats()
     assert s["step_p99_s"] >= s["step_p50_s"] > 0.0
+
+
+def test_chunked_prefill_matches_oracle_and_interleaves(params):
+    """prefill_chunk=32: a 3-chunk prompt is fed one chunk per tick while an
+    ALREADY-DECODING request keeps producing tokens every tick (no
+    head-of-line blocking), and both completions match the oracle."""
+    eng = Engine(params, CFG, EngineConfig(max_batch=2, max_len=128,
+                                           inner_steps=1, prefill_chunk=32))
+    eng.submit(Request(uid=1, prompt=[5, 6, 7], max_new_tokens=12))
+    # admit + decode uid=1 for a few ticks
+    for _ in range(3):
+        eng.step()
+    n_before = len(eng.slot_tokens[0])
+    long_prompt = list(range(1, 90))  # 89 tokens -> bucket 96 -> 3 chunks
+    eng.submit(Request(uid=2, prompt=long_prompt, max_new_tokens=4))
+    grew = 0
+    while eng._pf is not None or eng.pending:
+        eng.step()  # chunk ticks: uid=1 must still decode
+        grew += 1
+        assert len(eng.slot_tokens[0]) > n_before
+        n_before = len(eng.slot_tokens[0])
+        assert grew < 20
+    res = eng.run([])
+    assert res[1].tokens == _oracle(params, [5, 6, 7], 12)
+    assert res[2].tokens == _oracle(params, long_prompt, 4)
+
+
+def test_chunked_prefill_warmup_no_retrace(params):
+    eng = Engine(params, CFG, EngineConfig(max_batch=2, max_len=96,
+                                           inner_steps=2, prefill_chunk=32))
+    eng.warmup(max_prompt_len=96)
+    warm = dict(eng.traces)
+    res = eng.run([
+        Request(uid=1, prompt=list(range(1, 70)), max_new_tokens=5),
+        Request(uid=2, prompt=[3, 4], max_new_tokens=5),
+    ])
+    assert eng.traces == warm, (warm, eng.traces)
+    assert res[1].tokens == _oracle(params, list(range(1, 70)), 5)
+    assert res[2].tokens == _oracle(params, [3, 4], 5)

@@ -76,6 +76,13 @@ class EngineConfig:
     # burst of long prompts stalls every decoding slot for the whole burst;
     # a budget bounds that head-of-line blocking per tick.
     admit_budget: int = 0
+    # chunked prefill (0 = off): feed a pending prompt through the prefill
+    # program prefill_chunk tokens per tick, interleaved with decode ticks —
+    # a long prompt then delays each decode tick by one CHUNK's cost instead
+    # of the whole prompt's (head-of-line blocking fix, VERDICT r2 weak #3).
+    # The in-flight prompt grows a private batch-1 cache across ticks and is
+    # spliced into its slot once, when complete.  Multiple of 32.
+    prefill_chunk: int = 0
 
 
 class Engine:
@@ -141,8 +148,14 @@ class Engine:
         # tests assert no mid-serving compile after warmup
         self.traces = {"decode": 0, "prefill": 0}
 
+        if ecfg.prefill_chunk and ecfg.prefill_chunk % 32:
+            raise ValueError(f"prefill_chunk must be a multiple of 32, got {ecfg.prefill_chunk}")
+        # in-flight chunked admission: (req, slot, small KVCache, tokens done)
+        self._pf: dict | None = None
         self._decode = jax.jit(self._decode_fn, static_argnames=("n",))
         self._prefill = jax.jit(self._prefill_fn)
+        self._chunk = jax.jit(self._chunk_fn)
+        self._splice = jax.jit(self._splice_fn)
         self._key = jax.random.PRNGKey(ecfg.seed)
         # multi-host: every process runs this SAME host loop in lockstep (SPMD
         # over a process-spanning mesh).  Requests must be submitted
@@ -227,6 +240,69 @@ class Engine:
         first = self._select(logits[:, -1], key)[0]
         return first, T.KVCache(k=ks, v=vs, length=length)
 
+    def _chunk_fn(self, params, tokens, small, last_index, key):
+        """One prefill CHUNK on a private batch-1 cache: forward writes this
+        chunk's KV at small.length and advances it; ``last_index`` is the
+        chunk-local position of the prompt's true last token (only the final
+        chunk's sample is used)."""
+        self.traces["prefill"] += 1
+        logits, small = self._fwd_prefill(params, tokens, small, last_index)
+        first = self._select(logits[:, -1], key)[0]
+        return first, small
+
+    def _splice_fn(self, cache, small, slot, true_len):
+        """Copy a completed chunked prefill's KV rows into ``slot`` of the
+        big cache (rows past true_len are garbage, masked forever by
+        kv_valid < length)."""
+        ks, vs = [], []
+        for i in range(self.cfg.n_layers):
+            ks.append(jax.lax.dynamic_update_slice(cache.k[i], small.k[i], (slot, 0, 0, 0)))
+            vs.append(jax.lax.dynamic_update_slice(cache.v[i], small.v[i], (slot, 0, 0, 0)))
+        length = cache.length.at[slot].set(true_len)
+        return T.KVCache(k=ks, v=vs, length=length)
+
+    def _admit_chunked(self) -> None:
+        """Advance the in-flight prefill by ONE chunk (and start a new one
+        when idle): each decode tick pays at most one chunk of prefill."""
+        C = self.ecfg.prefill_chunk
+        if self._pf is None:
+            slots = self._free_slots()
+            if not self.pending or not slots:
+                return
+            req = self.pending.popleft()
+            lp_pad = self._bucket(len(req.prompt))
+            # chunk tokens index into a bucketed prompt buffer; the small
+            # cache covers the whole bucket so every chunk program for this
+            # bucket shares one trace
+            small = T.KVCache.zeros(self.cfg, 1, lp_pad)
+            self._pf = dict(req=req, slot=slots[0], small=small, done=0, lp_pad=lp_pad)
+        pf = self._pf
+        req, lp = pf["req"], len(pf["req"].prompt)
+        lo = pf["done"]
+        hi = min(lo + C, pf["lp_pad"])
+        toks = np.zeros((1, hi - lo), np.int32)
+        real = req.prompt[lo:hi]
+        toks[0, : len(real)] = real
+        li = min(lp, hi) - 1 - lo  # chunk-local true-last position (final chunk)
+        first, pf["small"] = self._chunk(
+            self.params, jnp.asarray(toks), pf["small"], jnp.int32(li), self._next_key()
+        )
+        pf["done"] = hi
+        if hi < lp:
+            return  # more chunks to go; decode proceeds this tick
+        slot = pf["slot"]
+        self.cache = self._splice(self.cache, pf["small"], jnp.int32(slot), jnp.int32(lp))
+        first = int(self._host_fetch(first))
+        self.slot_req[slot] = req
+        self.slot_tokens[slot] = [first]
+        self.slot_cur[slot] = first
+        self.slot_t0[slot] = time.perf_counter()
+        if self.on_token is not None:
+            self.on_token(req.uid, first)
+        log.debug("admit(chunked) uid=%d slot=%d prompt_len=%d chunks=%d",
+                  req.uid, slot, lp, -(-lp // C))
+        self._pf = None
+
     # -- host API ----------------------------------------------------------
 
     def submit(self, req: Request) -> None:
@@ -263,7 +339,22 @@ class Engine:
             prompt_lens = range(1, max_prompt_len + 1, 32)
         buckets = sorted({self._bucket(lp) for lp in prompt_lens})
         key = jax.random.PRNGKey(0)
+        C = self.ecfg.prefill_chunk
         for lp_pad in buckets:
+            if C:
+                # chunked mode: one chunk program per (chunk shape, bucket)
+                # pair plus the per-bucket splice program
+                small = T.KVCache.zeros(self.cfg, 1, lp_pad)
+                lo = 0
+                while lo < lp_pad:
+                    hi = min(lo + C, lp_pad)
+                    _, small = self._chunk(
+                        self.params, jnp.zeros((1, hi - lo), jnp.int32), small,
+                        jnp.int32(0), key,
+                    )
+                    lo = hi
+                self._splice(self.cache, small, jnp.int32(0), jnp.int32(1))
+                continue
             toks = jnp.zeros((1, lp_pad), jnp.int32)
             first, _ = self._prefill(
                 self.params, toks, self.cache, jnp.int32(0), jnp.int32(1), key
@@ -320,7 +411,10 @@ class Engine:
         """One engine tick: admit pending requests, run one batched decode
         step, retire finished slots.  Returns number of active slots."""
         t_tick = time.perf_counter()
-        self._admit()
+        if self.ecfg.prefill_chunk:
+            self._admit_chunked()
+        else:
+            self._admit()
         active = [i for i, r in enumerate(self.slot_req) if r is not None]
         if not active:
             return 0
@@ -407,9 +501,10 @@ class Engine:
         """Serve a list of requests to completion; returns uid -> Completion."""
         for r in requests:
             self.submit(r)
-        while self.pending or any(r is not None for r in self.slot_req):
+        while (self.pending or any(r is not None for r in self.slot_req)
+               or (self.ecfg.prefill_chunk and self._pf is not None)):
             n = self.step()
-            if n == 0 and not self.pending:
+            if n == 0 and not self.pending and not (self.ecfg.prefill_chunk and self._pf is not None):
                 break
         dt = time.perf_counter() - self._t0
         if self._steps:
