@@ -81,7 +81,10 @@ def jitter(model="mistral7b", chunk=0):
     ecfg = EngineConfig(max_batch=4, max_len=1536, inner_steps=4,
                         prefill_chunk=chunk, admit_budget=0 if chunk else 1)
     eng = Engine(params, cfg, ecfg)
+    print(f"warmup (chunk={chunk})...", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
     eng.warmup(prompt_lens=[8, 1024])
+    print(f"warmup done in {time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
     prompt = lambda n: rng.integers(1, cfg.vocab_size, n).tolist()
     # steady decode on 3 slots...
     for u in range(3):

@@ -78,6 +78,22 @@ def test_temperature_sampling_valid_and_seeded(params):
     assert len(out_k[1].tokens) == 8
 
 
+def test_per_request_sampling_overrides(params):
+    """A temperature-0 override on a sampling engine makes just that request
+    greedy (oracle-exact) while its batchmate samples with its own top_p;
+    the sampled request stays deterministic per engine seed."""
+    mk = lambda: [
+        Request(uid=1, prompt=[5, 6, 7], max_new_tokens=6, temperature=0.0),
+        Request(uid=2, prompt=[3, 4], max_new_tokens=6, top_p=0.5),
+    ]
+    ecfg = EngineConfig(max_batch=2, max_len=32, temperature=1.0, top_p=0.9, seed=5)
+    res = Engine(params, CFG, ecfg).run(mk())
+    assert res[1].tokens == _oracle(params, [5, 6, 7], 6)  # greedy override
+    assert all(0 <= t < CFG.vocab_size for t in res[2].tokens)
+    res2 = Engine(params, CFG, ecfg).run(mk())
+    assert res2[2].tokens == res[2].tokens
+
+
 def test_prompt_too_long_rejected(params):
     eng = Engine(params, CFG, EngineConfig(max_batch=1, max_len=8))
     with pytest.raises(ValueError):
@@ -239,6 +255,79 @@ def test_step_latency_percentiles(params):
     eng.run([Request(uid=1, prompt=[5, 6], max_new_tokens=6)])
     s = eng.stats()
     assert s["step_p99_s"] >= s["step_p50_s"] > 0.0
+
+
+def test_batch_buckets_single_request_runs_small(params):
+    """batch_buckets=True: one request in an 8-slot engine decodes in a
+    batch-1 program (decode_batch gauge), output still oracle-exact."""
+    eng = Engine(params, CFG, EngineConfig(max_batch=8, max_len=32, batch_buckets=True))
+    res = eng.run([Request(uid=1, prompt=[5, 6, 7], max_new_tokens=6)])
+    assert res[1].tokens == _oracle(params, [5, 6, 7], 6)
+    assert eng.stats()["decode_batch"] == 1
+
+
+def test_batch_buckets_compaction_shrinks(params):
+    """Fill 4 slots; when the three low slots retire, the surviving high
+    slot is compacted down (KV row move) and decode drops to batch-1 —
+    its remaining tokens must still match the oracle (cache rows moved
+    intact)."""
+    eng = Engine(params, CFG, EngineConfig(max_batch=4, max_len=64,
+                                           inner_steps=1, batch_buckets=True))
+    short = [Request(uid=u, prompt=[u, u + 1], max_new_tokens=2) for u in (1, 2, 3)]
+    long = Request(uid=9, prompt=[7, 8, 9], max_new_tokens=12)
+    for r in short + [long]:
+        eng.submit(r)
+    seen = set()
+    while eng.pending or any(r is not None for r in eng.slot_req):
+        eng.step()
+        seen.add(eng.stats()["decode_batch"])
+    assert 4 in seen and 1 in seen, seen  # started full, ended compacted
+    res = {c.uid: c for c in eng.completions}
+    for r in short + [long]:
+        assert res[r.uid].tokens == _oracle(params, r.prompt, r.max_new_tokens), r.uid
+
+
+def test_batch_buckets_on_mesh(params):
+    """Bucketing under a data=2 mesh: buckets are multiples of the data-axis
+    size and completions stay oracle-exact through compaction."""
+    from torch_bnb_fp4_tpu.parallel import make_mesh, shard_params, validate_tp
+
+    validate_tp(CFG, 2)
+    mesh = make_mesh(n_model=2, n_data=2)
+    sparams = shard_params(params, mesh)
+    eng = Engine(sparams, CFG, EngineConfig(max_batch=4, max_len=32, inner_steps=2,
+                                            batch_buckets=True), mesh=mesh)
+    reqs = [
+        Request(uid=1, prompt=[1, 2, 3], max_new_tokens=8),
+        Request(uid=2, prompt=[4, 5], max_new_tokens=3),
+        Request(uid=3, prompt=[6, 7, 8, 9], max_new_tokens=3),
+    ]
+    res = eng.run(reqs)
+    assert eng.stats()["decode_batch"] == 2  # data-axis floor, not 1
+    for r in reqs:
+        assert res[r.uid].tokens == _oracle(params, r.prompt, r.max_new_tokens), r.uid
+
+
+def test_warmup_covers_batch_buckets(params):
+    """With bucketing on, warmup pre-traces every (bucket, depth) decode
+    program: serving across occupancy changes triggers no retrace."""
+    eng = Engine(params, CFG, EngineConfig(max_batch=4, max_len=64, inner_steps=2,
+                                           batch_buckets=True))
+    eng.warmup(max_prompt_len=8)
+    warm = dict(eng.traces)
+    reqs = [Request(uid=u, prompt=[u, u + 1], max_new_tokens=3 * u) for u in (1, 2, 3, 4)]
+    res = eng.run(reqs)
+    assert eng.traces == warm, (warm, eng.traces)
+    for r in reqs:
+        assert res[r.uid].tokens == _oracle(params, r.prompt, r.max_new_tokens), r.uid
+
+
+def test_warmup_rejects_mid_serving(params):
+    eng = Engine(params, CFG, EngineConfig(max_batch=2, max_len=32))
+    eng.submit(Request(uid=1, prompt=[1, 2], max_new_tokens=4))
+    eng.step()
+    with pytest.raises(RuntimeError):
+        eng.warmup(max_prompt_len=8)
 
 
 def test_chunked_prefill_matches_oracle_and_interleaves(params):
