@@ -78,6 +78,26 @@ def test_temperature_sampling_valid_and_seeded(params):
     assert len(out_k[1].tokens) == 8
 
 
+def test_fp8_kv_cache_engine(params):
+    """kv_dtype='float8_e4m3fn': the whole serving path (prefill splice,
+    chunked prefill, decode, compaction move) runs on fp8 storage and emits
+    valid completions of the right lengths."""
+    import jax.numpy as jnp
+
+    eng = Engine(params, CFG, EngineConfig(max_batch=2, max_len=64, inner_steps=2,
+                                           prefill_chunk=32, batch_buckets=True,
+                                           kv_dtype="float8_e4m3fn"))
+    assert eng.cache.k[0].dtype == jnp.float8_e4m3fn
+    reqs = [
+        Request(uid=1, prompt=list(range(1, 40)), max_new_tokens=6),
+        Request(uid=2, prompt=[4, 5], max_new_tokens=4),
+    ]
+    res = eng.run(reqs)
+    for r in reqs:
+        assert len(res[r.uid].tokens) == r.max_new_tokens
+        assert all(0 <= t < CFG.vocab_size for t in res[r.uid].tokens)
+
+
 def test_per_request_sampling_overrides(params):
     """A temperature-0 override on a sampling engine makes just that request
     greedy (oracle-exact) while its batchmate samples with its own top_p;

@@ -53,6 +53,51 @@ def test_quantized_vs_reference_logits(setup):
     assert corr > 0.9, corr
 
 
+def test_qwen2_style_attn_bias(setup):
+    """attn_bias=True (Qwen2 family): biased q/k/v flow through quantize,
+    fusion (interleaved bias concat) and the forward, tracking the biased
+    bf16 reference.  A zero-bias model must NOT match a biased reference
+    (guards against biases being silently dropped)."""
+    del setup
+    cfg = ModelConfig.tiny_test(attn_bias=True)
+    weights = random_weights(cfg, seed=11)
+    # biases of random_weights are tiny (scale 0.02) next to activations —
+    # amplify so dropping them would visibly break the comparison
+    for k in list(weights):
+        if k.endswith(".bias"):
+            weights[k] = weights[k] * 50.0
+    tokens = jnp.asarray(np.arange(8, dtype=np.int32).reshape(1, 8) % cfg.vocab_size)
+    ref = np.asarray(reference_forward(cfg, weights, tokens))
+
+    def close(params):
+        got, _ = forward(params, cfg, tokens, KVCache.zeros(cfg, 1, 8))
+        got = np.asarray(got)
+        assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.9
+        return got
+
+    close(quantize_params(cfg, weights))
+    close(quantize_params(cfg, weights, fuse=True))  # fused bias interleave
+    dropped = {k: v for k, v in weights.items() if not k.endswith(".bias")}
+    got0, _ = forward(quantize_params(cfg, dropped), cfg, tokens, KVCache.zeros(cfg, 1, 8))
+    assert np.abs(np.asarray(got0) - ref).mean() > 5 * np.abs(close(quantize_params(cfg, weights)) - ref).mean()
+
+
+def test_fp8_kv_cache_tracks_bf16(setup):
+    """float8_e4m3fn KV storage (halved cache memory): logits stay close to
+    the bf16-cache forward — the only difference is the per-element cast at
+    cache write (~3 mantissa bits), so the outputs must correlate near-1."""
+    _, params = setup
+    rng = np.random.default_rng(1)
+    tokens = jnp.asarray(rng.integers(0, CFG.vocab_size, (2, 10)), jnp.int32)
+    ref, _ = forward(params, CFG, tokens, KVCache.zeros(CFG, 2, 10))
+    got, c8 = forward(params, CFG, tokens, KVCache.zeros(CFG, 2, 10, dtype=jnp.float8_e4m3fn))
+    assert c8.k[0].dtype == jnp.float8_e4m3fn
+    ref, got = np.asarray(ref), np.asarray(got)
+    assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.98
+    denom = np.abs(ref).mean() + 1e-6
+    assert np.abs(got - ref).mean() / denom < 0.25
+
+
 def test_prefill_then_decode_matches_full_forward(setup):
     """Cache consistency: step-by-step decode == one full forward pass."""
     _, params = setup

@@ -45,6 +45,10 @@ def config_from_hf(model_dir: str, **overrides) -> ModelConfig:
         rope_theta=hf.get("rope_theta", 10000.0),
         rms_eps=hf.get("rms_norm_eps", 1e-5),
         sliding_window=hf.get("sliding_window"),
+        # Llama exposes attention_bias; Qwen2 always biases q/k/v.  Only
+        # informational at runtime — the converter picks biases up from the
+        # checkpoint's .bias tensors regardless.
+        attn_bias=bool(hf.get("attention_bias", hf.get("model_type") == "qwen2")),
     )
     kw.update(overrides)
     return ModelConfig(**kw)

@@ -47,6 +47,11 @@ class ModelConfig:
     quantize_lm_head: bool = False
     blocksize: int = 64
     quant_type: str = "fp4"
+    # Qwen2-style attention bias on q/k/v projections (o_proj stays
+    # bias-free).  Only consulted by random_weights; the real-weight paths
+    # (convert/hf.py, quantize_params) pick biases up from the checkpoint's
+    # ``.bias`` tensors whether or not this is set.
+    attn_bias: bool = False
     # pairk codebook variant for FRESH fp4 quantization (ops/format.
     # PAIRK_MAGS192): "ramp" = 7-op decode (default; slightly more accurate
     # than exact FP4 for Gaussian weights), "exact" = bit-exact bnb codes.
@@ -77,6 +82,21 @@ class ModelConfig:
         return cls(
             vocab_size=32000, dim=8192, n_layers=80, n_heads=64, n_kv_heads=8,
             ffn_dim=28672, rope_theta=10000.0,
+        )
+
+    @classmethod
+    def llama3_8b(cls) -> "ModelConfig":
+        return cls(
+            vocab_size=128256, dim=4096, n_layers=32, n_heads=32, n_kv_heads=8,
+            ffn_dim=14336, rope_theta=500000.0,
+        )
+
+    @classmethod
+    def qwen2_7b(cls) -> "ModelConfig":
+        # Qwen2-7B-Instruct geometry: GQA 28/4, biased q/k/v projections
+        return cls(
+            vocab_size=152064, dim=3584, n_layers=28, n_heads=28, n_kv_heads=4,
+            ffn_dim=18944, rope_theta=1e6, rms_eps=1e-6, attn_bias=True,
         )
 
     @classmethod
@@ -401,8 +421,8 @@ def generate(
 # Parameter construction
 # ---------------------------------------------------------------------------
 
-def _ql(w: np.ndarray, cfg: ModelConfig) -> QuantLinear:
-    return quantize_linear(w, blocksize=cfg.blocksize, quant_type=cfg.quant_type,
+def _ql(w: np.ndarray, cfg: ModelConfig, bias: np.ndarray | None = None) -> QuantLinear:
+    return quantize_linear(w, bias, blocksize=cfg.blocksize, quant_type=cfg.quant_type,
                            variant=cfg.variant)
 
 
@@ -435,16 +455,20 @@ def quantize_params(cfg: ModelConfig, weights: dict[str, np.ndarray], fuse: bool
     layers = []
     for i in range(cfg.n_layers):
         p = f"model.layers.{i}."
+
+        def q(name):  # optional Qwen2-style ``.bias`` rides along
+            return _ql(weights[p + name + ".weight"], cfg, weights.get(p + name + ".bias"))
+
         layers.append(LayerParams(
             attn_norm=jnp.asarray(weights[p + "input_layernorm.weight"], jnp.bfloat16),
-            wq=_ql(weights[p + "self_attn.q_proj.weight"], cfg),
-            wk=_ql(weights[p + "self_attn.k_proj.weight"], cfg),
-            wv=_ql(weights[p + "self_attn.v_proj.weight"], cfg),
-            wo=_ql(weights[p + "self_attn.o_proj.weight"], cfg),
+            wq=q("self_attn.q_proj"),
+            wk=q("self_attn.k_proj"),
+            wv=q("self_attn.v_proj"),
+            wo=q("self_attn.o_proj"),
             mlp_norm=jnp.asarray(weights[p + "post_attention_layernorm.weight"], jnp.bfloat16),
-            w_gate=_ql(weights[p + "mlp.gate_proj.weight"], cfg),
-            w_up=_ql(weights[p + "mlp.up_proj.weight"], cfg),
-            w_down=_ql(weights[p + "mlp.down_proj.weight"], cfg),
+            w_gate=q("mlp.gate_proj"),
+            w_up=q("mlp.up_proj"),
+            w_down=q("mlp.down_proj"),
         ))
     embed = jnp.asarray(weights["model.embed_tokens.weight"], jnp.bfloat16)
     lm_w = weights.get("lm_head.weight")
@@ -469,21 +493,21 @@ def dense_params(cfg: ModelConfig, weights: dict[str, np.ndarray], dtype=jnp.bfl
     forward/decode code as the quantized model."""
 
     def dl(name: str) -> DenseLinear:
-        return dense_linear(weights[name], dtype=dtype)
+        return dense_linear(weights[name + ".weight"], weights.get(name + ".bias"), dtype=dtype)
 
     layers = []
     for i in range(cfg.n_layers):
         p = f"model.layers.{i}."
         layers.append(LayerParams(
             attn_norm=jnp.asarray(weights[p + "input_layernorm.weight"], dtype),
-            wq=dl(p + "self_attn.q_proj.weight"),
-            wk=dl(p + "self_attn.k_proj.weight"),
-            wv=dl(p + "self_attn.v_proj.weight"),
-            wo=dl(p + "self_attn.o_proj.weight"),
+            wq=dl(p + "self_attn.q_proj"),
+            wk=dl(p + "self_attn.k_proj"),
+            wv=dl(p + "self_attn.v_proj"),
+            wo=dl(p + "self_attn.o_proj"),
             mlp_norm=jnp.asarray(weights[p + "post_attention_layernorm.weight"], dtype),
-            w_gate=dl(p + "mlp.gate_proj.weight"),
-            w_up=dl(p + "mlp.up_proj.weight"),
-            w_down=dl(p + "mlp.down_proj.weight"),
+            w_gate=dl(p + "mlp.gate_proj"),
+            w_up=dl(p + "mlp.up_proj"),
+            w_down=dl(p + "mlp.down_proj"),
         ))
     lm_w = weights.get("lm_head.weight")
     if lm_w is None:
@@ -517,6 +541,10 @@ def random_weights(cfg: ModelConfig, seed: int = 0, scale: float = 0.02) -> dict
         out[p + "self_attn.k_proj.weight"] = w(kv_dim, cfg.dim)
         out[p + "self_attn.v_proj.weight"] = w(kv_dim, cfg.dim)
         out[p + "self_attn.o_proj.weight"] = w(cfg.dim, cfg.dim)
+        if cfg.attn_bias:  # Qwen2-style q/k/v bias
+            out[p + "self_attn.q_proj.bias"] = w(cfg.dim)
+            out[p + "self_attn.k_proj.bias"] = w(kv_dim)
+            out[p + "self_attn.v_proj.bias"] = w(kv_dim)
         out[p + "mlp.gate_proj.weight"] = w(cfg.ffn_dim, cfg.dim)
         out[p + "mlp.up_proj.weight"] = w(cfg.ffn_dim, cfg.dim)
         out[p + "mlp.down_proj.weight"] = w(cfg.dim, cfg.ffn_dim)
@@ -530,7 +558,9 @@ def reference_forward(cfg: ModelConfig, weights: dict[str, np.ndarray], tokens: 
 
     def lin(name, x):
         wt = jnp.asarray(weights[name], jnp.float32).T.astype(jnp.bfloat16)
-        return x @ wt
+        y = x @ wt
+        b = weights.get(name.replace(".weight", ".bias"))
+        return y if b is None else y + jnp.asarray(b, jnp.float32).astype(y.dtype)
 
     x = jnp.asarray(weights["model.embed_tokens.weight"], jnp.bfloat16)[tokens]
     positions = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32), (b, l))

@@ -102,6 +102,13 @@ class EngineConfig:
     # warmup() covers all of them when enabled, multiplying warmup cost.
     # Under a data-sharded mesh, buckets are multiples of the data-axis size.
     batch_buckets: bool = False
+    # KV-cache storage dtype: "bfloat16" (default) or "float8_e4m3fn".
+    # fp8 halves KV memory — 2x the slots or context length per chip — at
+    # ~3 mantissa bits of per-element rounding (the fp8-KV-cache tradeoff
+    # production servers ship; attention still computes in f32, the cast
+    # happens at cache write).  Compute paths already cast through
+    # cache.dtype, so this is storage-only.
+    kv_dtype: str = "bfloat16"
 
 
 class Engine:
@@ -123,7 +130,8 @@ class Engine:
         self.ecfg = ecfg
         self.mesh = mesh
         b, ml = ecfg.max_batch, ecfg.max_len
-        cache = T.KVCache.zeros(cfg, b, ml)
+        self._kv_dtype = jnp.dtype(ecfg.kv_dtype)
+        cache = T.KVCache.zeros(cfg, b, ml, dtype=self._kv_dtype)
         if mesh is not None:
             from ..parallel import DATA_AXIS, shard_cache, tp_forward_fn
 
@@ -283,7 +291,7 @@ class Engine:
         logits are Lp x the needed work)."""
         self.traces["prefill"] += 1  # Python body runs once per trace
         lp_pad = tokens.shape[1]
-        small = T.KVCache.zeros(self.cfg, 1, lp_pad)
+        small = T.KVCache.zeros(self.cfg, 1, lp_pad, dtype=self._kv_dtype)
         logits, small = self._fwd_prefill(params, tokens, small, true_len - 1)
         ks, vs = [], []
         for i in range(self.cfg.n_layers):
@@ -385,7 +393,7 @@ class Engine:
             # chunk tokens index into a bucketed prompt buffer; the small
             # cache covers the whole bucket so every chunk program for this
             # bucket shares one trace
-            small = T.KVCache.zeros(self.cfg, 1, lp_pad)
+            small = T.KVCache.zeros(self.cfg, 1, lp_pad, dtype=self._kv_dtype)
             self._pf = dict(req=req, slot=slots[0], small=small, done=0, lp_pad=lp_pad)
         pf = self._pf
         req, lp = pf["req"], len(pf["req"].prompt)
@@ -464,7 +472,7 @@ class Engine:
             if C:
                 # chunked mode: one chunk program per (chunk shape, bucket)
                 # pair plus the per-bucket splice program
-                small = T.KVCache.zeros(self.cfg, 1, lp_pad)
+                small = T.KVCache.zeros(self.cfg, 1, lp_pad, dtype=self._kv_dtype)
                 lo = 0
                 while lo < lp_pad:
                     hi = min(lo + C, lp_pad)
