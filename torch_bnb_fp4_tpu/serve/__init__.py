@@ -1,3 +1,3 @@
-from .engine import Completion, Engine, EngineConfig, Request
+from .engine import Completion, Engine, EngineConfig, Request, prompt_lookup_draft
 
-__all__ = ["Engine", "EngineConfig", "Request", "Completion"]
+__all__ = ["Engine", "EngineConfig", "Request", "Completion", "prompt_lookup_draft"]

@@ -25,6 +25,7 @@ import dataclasses
 import logging
 import time
 from collections import deque
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -109,6 +110,54 @@ class EngineConfig:
     # happens at cache write).  Compute paths already cast through
     # cache.dtype, so this is storage-only.
     kv_dtype: str = "bfloat16"
+    # speculative decoding via prompt-lookup (n-gram) drafting (0 = off):
+    # each decode step drafts spec_tokens continuation tokens by matching the
+    # context's trailing spec_ngram-gram against its own earlier occurrences
+    # (device-side, in a token-history buffer carried through the scan — no
+    # host in the loop), then verifies draft+current in ONE (B, k+1) forward.
+    # At batch-1 decode the forward is weight-bound, so k+1 positions cost
+    # ~the same HBM traffic as 1: every accepted draft token is a nearly-free
+    # extra token.  Greedy verification is TOKEN-EXACT vs plain decode.
+    # Requires temperature == 0 (greedy engines only; rejection-sampling
+    # speculation is out of scope).  Up to inner_steps speculation steps run
+    # per host round-trip, capacity permitting.
+    spec_tokens: int = 0
+    spec_ngram: int = 3
+
+
+def prompt_lookup_draft(hist: jax.Array, hlen: jax.Array, *, k: int, n: int) -> jax.Array:
+    """Draft ``k`` continuation tokens for one sequence by prompt lookup:
+    find the EARLIEST earlier occurrence of the trailing ``n``-gram of
+    ``hist[:hlen]`` and propose the ``k`` tokens that followed it.  Earliest
+    (not most recent) maximizes known continuation ahead of the match — for
+    periodic output (the common case speculation feeds on) the most recent
+    occurrence sits at the end of known text and its draft window runs off
+    the edge after one period.
+
+    Pure function of fixed shapes (vmap/scan-friendly; runs on the VPU —
+    H x n integer compares).  When no match exists (or hlen < n) the returned
+    tokens are arbitrary-but-valid ids from the buffer: greedy verification
+    makes acceptance exact regardless of draft quality, so a bad draft costs
+    nothing beyond the already-paid verify positions.
+    """
+    h = hist.shape[0]
+    pat = jax.lax.dynamic_slice(hist, (jnp.maximum(hlen - n, 0),), (n,))
+    j_hi = h - n  # candidate starts j in [0, j_hi)
+    match = jnp.ones((j_hi,), bool)
+    for t in range(n):
+        match &= jax.lax.slice(hist, (t,), (t + j_hi,)) == pat[t]
+    jidx = jnp.arange(j_hi, dtype=jnp.int32)
+    match &= jidx < hlen - n  # strictly before the trailing gram itself
+    j = jnp.min(jnp.where(match, jidx, j_hi))
+    j = jnp.where(j < j_hi, j, 0)  # no match: j arbitrary (draft never accepted)
+    # Read the continuation CYCLICALLY with period = distance between the two
+    # gram occurrences: known text ends at hlen, but a periodic continuation
+    # (the case speculation feeds on) repeats with exactly this period, so
+    # wrapping extends the draft past the end of known text instead of
+    # truncating it — "1 2 1 2" with k=4 drafts 1,2,1,2, not 1,2,<garbage>.
+    p = jnp.maximum(hlen - n - j, 1)
+    idx = j + n + jnp.mod(jnp.arange(k, dtype=jnp.int32), p)
+    return hist[jnp.clip(idx, 0, h - 1)]
 
 
 class Engine:
@@ -180,6 +229,21 @@ class Engine:
 
         if ecfg.prefill_chunk and ecfg.prefill_chunk % 32:
             raise ValueError(f"prefill_chunk must be a multiple of 32, got {ecfg.prefill_chunk}")
+        if ecfg.spec_tokens:
+            if ecfg.temperature > 0.0:
+                raise ValueError(
+                    "spec_tokens requires a greedy engine (temperature == 0): "
+                    "greedy verification is token-exact; rejection-sampling "
+                    "speculation is not implemented"
+                )
+            if ecfg.spec_ngram < 1:
+                raise ValueError(f"spec_ngram must be >= 1, got {ecfg.spec_ngram}")
+            if ecfg.max_len <= ecfg.spec_ngram:
+                raise ValueError("max_len must exceed spec_ngram")
+        # speculation accounting: tokens emitted by / number of verify
+        # forwards (per-slot); tokens-per-forward > 1 is the speedup
+        self._spec_emitted = 0
+        self._spec_slot_forwards = 0
         # in-flight chunked admission: (req, slot, small KVCache, tokens done)
         self._pf: dict | None = None
         # the big KV cache is DONATED to every program that rewrites it:
@@ -189,6 +253,7 @@ class Engine:
         # per decoded token of pure HBM copy).  Every call site reassigns
         # self.cache from the program output.
         self._decode = jax.jit(self._decode_fn, static_argnames=("n",), donate_argnums=(2,))
+        self._spec = jax.jit(self._spec_fn, static_argnames=("s",), donate_argnums=(2,))
         self._prefill = jax.jit(self._prefill_fn, donate_argnums=(2,))
         self._chunk = jax.jit(self._chunk_fn, donate_argnums=(2,))
         self._splice = jax.jit(self._splice_fn, donate_argnums=(0,))
@@ -282,6 +347,59 @@ class Engine:
             length=jax.lax.dynamic_update_slice(cache.length, sub.length, (0,)),
         )
         return toks.T, cache
+
+    def _spec_fn(self, params, tokens, cache, active, hist, hlen, *, s):
+        """``s`` speculative decode steps in ONE program.  Per step, per slot:
+        draft k tokens by prompt lookup in the device-resident token history,
+        run current+draft through one (B', k+1) forward, accept the longest
+        matching prefix, emit accepted + 1 correction token (1..k+1 tokens per
+        forward).  Rollback of rejected KV rows is just a length reset — the
+        next step's writes land at the new length and overwrite them.
+
+        ``hist`` (B', max_len+1) i32 holds prompt+emitted tokens per slot
+        (host-supplied at tick start, updated in-scan so step t+1 drafts from
+        step t's emissions); ``hlen`` (B',) its lengths.  Inactive slots run
+        too (garbage, host ignores them), like _decode_fn.  Returns
+        (toks (s, B', k+1), counts (s, B'), cache) — host keeps
+        toks[si, i, :counts[si, i]].
+        """
+        self.traces["decode"] += 1
+        k, n = self.ecfg.spec_tokens, self.ecfg.spec_ngram
+        bp, h = tokens.shape[0], hist.shape[1]
+        sub = T.KVCache(
+            k=[a[:bp] for a in cache.k], v=[a[:bp] for a in cache.v],
+            length=jnp.where(active, cache.length[:bp], 0),
+        )
+
+        def body(carry, _):
+            cur, sub, hist, hlen = carry
+            draft = jax.vmap(partial(prompt_lookup_draft, k=k, n=n))(hist, hlen)
+            inp = jnp.concatenate([cur[:, None], draft], axis=1)  # (bp, k+1)
+            logits, sub = self._fwd(params, inp, sub)
+            choice = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (bp, k+1)
+            hit = (choice[:, :-1] == draft).astype(jnp.int32)
+            m = jnp.sum(jnp.cumprod(hit, axis=1), axis=1)  # accepted drafts
+            emit = m + 1
+            # rollback: keep only current + m accepted rows of the k+1 written
+            sub = dataclasses.replace(sub, length=sub.length - (k + 1) + emit)
+            t_idx = jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+            corr = jnp.take_along_axis(choice, m[:, None], axis=1)  # (bp, 1)
+            dpad = jnp.concatenate([draft, jnp.zeros((bp, 1), jnp.int32)], axis=1)
+            emitted = jnp.where(t_idx < m[:, None], dpad, corr)
+            pos = jnp.where(t_idx < emit[:, None], hlen[:, None] + t_idx, h)
+            hist = hist.at[jnp.arange(bp)[:, None], pos].set(emitted, mode="drop")
+            return (corr[:, 0], sub, hist, hlen + emit), (emitted, emit)
+
+        (_, sub, _, _), (toks, cnts) = jax.lax.scan(
+            body, (tokens, sub, hist, hlen), None, length=s
+        )
+        zero4 = (0, 0, 0, 0)
+        cache = T.KVCache(
+            k=[jax.lax.dynamic_update_slice(f, sk, zero4) for f, sk in zip(cache.k, sub.k)],
+            v=[jax.lax.dynamic_update_slice(f, sv, zero4) for f, sv in zip(cache.v, sub.v)],
+            length=jax.lax.dynamic_update_slice(cache.length, sub.length, (0,)),
+        )
+        return toks, cnts, cache
 
     def _prefill_fn(self, params, tokens, cache, slot, true_len, key, temp, top_p):
         """Run batch-1 prefill (length-bucketed padding) and splice its KV
@@ -509,6 +627,17 @@ class Engine:
                     self.params, dummy, self.cache, mask, key, tb, pb, n=n
                 )
                 n *= 2
+            if self.ecfg.spec_tokens:
+                # every s the runtime bucketing can pick (step() bounds
+                # s*(k+1) by remaining capacity and s by inner_steps)
+                hist = jnp.zeros((bb, self.ecfg.max_len + 1), jnp.int32)
+                hlen = jnp.zeros((bb,), jnp.int32)
+                s, kk = 1, self.ecfg.spec_tokens
+                while s <= self.ecfg.inner_steps and s * (kk + 1) <= self.ecfg.max_len:
+                    toks, _, self.cache = self._spec(
+                        self.params, dummy, self.cache, mask, hist, hlen, s=s
+                    )
+                    s *= 2
         jax.block_until_ready(toks)
         log.info("warmup: %d prefill buckets, %d decode programs", len(buckets), self.traces["decode"])
         return dict(self.traces)
@@ -586,11 +715,12 @@ class Engine:
         # tokens decoded past it are dropped host-side below, exactly like
         # post-EOS tokens (otherwise one nearly-finished request would
         # collapse the whole batch to n=1 per host round-trip).
-        budget = self.ecfg.inner_steps
+        cap = self.ecfg.max_len  # tightest remaining cache capacity over slots
         for i in active:
             req = self.slot_req[i]
             done = len(self.slot_tokens[i])
-            budget = min(budget, self.ecfg.max_len - (len(req.prompt) + done))
+            cap = min(cap, self.ecfg.max_len - (len(req.prompt) + done))
+        budget = min(self.ecfg.inner_steps, cap)
         n = 1
         while 2 * n <= budget:
             n *= 2
@@ -603,25 +733,60 @@ class Engine:
         tokens = jnp.asarray(self.slot_cur[:bp].astype(np.int32))
         mask = np.zeros(bp, bool)
         mask[active] = True
-        toks, self.cache = self._decode(
-            self.params, tokens, self.cache, jnp.asarray(mask), self._next_key(),
-            jnp.asarray(self.slot_temp[:bp]), jnp.asarray(self.slot_tp[:bp]), n=n,
-        )
-        toks = self._host_fetch(toks)  # device sync: the tick latency includes it
-        self.step_times.append((time.perf_counter() - t_tick) / n)
+
+        k = self.ecfg.spec_tokens
+        if k and cap >= k + 1:
+            # speculative path: s verify forwards per tick, each emitting
+            # 1..k+1 tokens per slot; worst-case growth s*(k+1) fits capacity
+            # (near the cache limit speculation degrades to the plain path)
+            s = 1
+            while 2 * s <= self.ecfg.inner_steps and 2 * s * (k + 1) <= cap:
+                s *= 2
+            hist = np.zeros((bp, self.ecfg.max_len + 1), np.int32)
+            hlen = np.zeros(bp, np.int32)
+            for i in active:
+                seq = self.slot_req[i].prompt + self.slot_tokens[i]
+                hist[i, : len(seq)] = seq
+                hlen[i] = len(seq)
+            toks3, cnts, self.cache = self._spec(
+                self.params, tokens, self.cache, jnp.asarray(mask),
+                jnp.asarray(hist), jnp.asarray(hlen), s=s,
+            )
+            toks3 = self._host_fetch(toks3)
+            cnts = self._host_fetch(cnts)
+            per_slot = {
+                i: [int(t) for si in range(s) for t in toks3[si, i, : int(cnts[si, i])]]
+                for i in active
+            }
+            emitted = sum(len(v) for v in per_slot.values())
+            self._spec_emitted += emitted
+            self._spec_slot_forwards += s * len(active)
+            self.step_times.append(
+                (time.perf_counter() - t_tick) / max(emitted / len(active), 1.0)
+            )
+            self._steps += s
+        else:
+            toks, self.cache = self._decode(
+                self.params, tokens, self.cache, jnp.asarray(mask), self._next_key(),
+                jnp.asarray(self.slot_temp[:bp]), jnp.asarray(self.slot_tp[:bp]), n=n,
+            )
+            toks = self._host_fetch(toks)  # device sync: tick latency includes it
+            per_slot = {i: [int(t) for t in toks[i]] for i in active}
+            self.step_times.append((time.perf_counter() - t_tick) / n)
+            self._steps += n
+
         for i in active:
             req = self.slot_req[i]
-            for t in toks[i]:
-                self.slot_tokens[i].append(int(t))
+            for t in per_slot[i]:
+                self.slot_tokens[i].append(t)
                 self._tokens_out += 1
                 if self.on_token is not None:
-                    self.on_token(req.uid, int(t))
-                if req.eos_id is not None and int(t) == req.eos_id:
+                    self.on_token(req.uid, t)
+                if req.eos_id is not None and t == req.eos_id:
                     break  # tokens decoded past EOS inside the scan are dropped
                 if len(self.slot_tokens[i]) >= req.max_new_tokens:
                     break  # tokens past the request budget are dropped too
             self.slot_cur[i] = self.slot_tokens[i][-1]
-        self._steps += n
         return len(active)
 
     def stats(self) -> dict:
@@ -646,6 +811,13 @@ class Engine:
             decode_batch=self._last_decode_batch,
             active_slots=sum(r is not None for r in self.slot_req),
             pending=len(self.pending),
+            # speculation: mean tokens emitted per verify forward per slot
+            # (1.0 = no draft ever accepted = plain-decode throughput;
+            # > 1 is the speculative speedup on top of it)
+            spec_tokens_per_forward=(
+                self._spec_emitted / self._spec_slot_forwards
+                if self._spec_slot_forwards else 0.0
+            ),
             # mean time-to-first-token and per-output-token latency over
             # finished requests (wall clock incl. queueing)
             mean_ttft_s=sum(c.ttft_s for c in done) / len(done) if done else 0.0,
