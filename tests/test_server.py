@@ -1,0 +1,131 @@
+"""HTTP serving front-end tests: real sockets, real threads, oracle-exact.
+
+Drives EngineServer end-to-end over localhost with urllib: non-streaming and
+streaming completions must match plain greedy decode token-for-token, and the
+API surface (stats, health, validation errors) must behave.  The reference
+has no server at all (SURVEY.md §1); this is north-star serving scope.
+"""
+
+import json
+import urllib.error
+import urllib.request
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_bnb_fp4_tpu.models import ModelConfig, generate, quantize_params
+from torch_bnb_fp4_tpu.models import transformer as T
+from torch_bnb_fp4_tpu.serve import Engine, EngineConfig, EngineServer
+
+pytestmark = pytest.mark.slow
+
+CFG = ModelConfig.tiny_test(n_layers=1)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return quantize_params(CFG, T.random_weights(CFG, seed=5))
+
+
+@pytest.fixture(scope="module")
+def server(params):
+    eng = Engine(params, CFG, EngineConfig(max_batch=2, max_len=48, inner_steps=2))
+    srv = EngineServer(eng, port=0).start()  # ephemeral port
+    yield srv
+    srv.stop()
+
+
+def _oracle(params, prompt, n):
+    out = generate(params, CFG, jnp.asarray([prompt], jnp.int32), max_new_tokens=n)
+    return np.asarray(out)[0].tolist()
+
+
+def _post(srv, body, timeout=300):
+    req = urllib.request.Request(
+        f"http://{srv.host}:{srv.port}/v1/completions",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def test_health_and_stats(server):
+    with urllib.request.urlopen(f"http://{server.host}:{server.port}/health") as r:
+        assert json.loads(r.read())["status"] == "ok"
+    with urllib.request.urlopen(f"http://{server.host}:{server.port}/v1/stats") as r:
+        st = json.loads(r.read())
+    assert "tokens_out" in st and "avg_batch_occupancy" in st
+
+
+def test_completion_matches_oracle(server, params):
+    prompt = [1, 2, 3, 4]
+    got = _post(server, {"prompt": prompt, "max_tokens": 7})
+    assert got["tokens"] == _oracle(params, prompt, 7)
+    assert got["finish_reason"] == "length"
+    assert got["prompt_len"] == 4
+    assert got["total_s"] > 0
+
+
+def test_streaming_completion(server, params):
+    prompt = [5, 6, 7]
+    req = urllib.request.Request(
+        f"http://{server.host}:{server.port}/v1/completions",
+        data=json.dumps({"prompt": prompt, "max_tokens": 5, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    toks, done = [], None
+    with urllib.request.urlopen(req, timeout=300) as r:
+        for line in r:  # urllib de-chunks; SSE "data: {...}" lines + blanks
+            line = line.strip()
+            if not line.startswith(b"data: "):
+                continue
+            obj = json.loads(line[6:])
+            if "token" in obj:
+                toks.append(obj["token"])
+            elif "done" in obj:
+                done = obj["done"]
+    want = _oracle(params, prompt, 5)
+    assert done is not None and done["tokens"] == want
+    # streamed tokens may overrun the request budget inside an inner scan
+    # tick; the completion is the source of truth and streaming must cover it
+    assert toks[: len(want)] == want
+
+
+def test_concurrent_requests_batch(server, params):
+    """Two clients in flight at once: continuous batching serves both and
+    each gets its own oracle-exact completion."""
+    import threading
+
+    prompts = {1: [9, 8, 7, 6], 2: [4, 4, 2, 1, 3]}
+    out = {}
+
+    def go(uid):
+        out[uid] = _post(server, {"prompt": prompts[uid], "max_tokens": 6})
+
+    ts = [threading.Thread(target=go, args=(u,)) for u in prompts]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    for uid, prompt in prompts.items():
+        assert out[uid]["tokens"] == _oracle(params, prompt, 6), uid
+
+
+def test_bad_requests(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server, {"prompt": "not token ids"})
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server, {"prompt": []})  # engine rejects empty prompts
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server, {"prompt": list(range(100))})  # >= max_len
+    assert ei.value.code == 400
+    req = urllib.request.Request(
+        f"http://{server.host}:{server.port}/v1/nope", data=b"{}",
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=60)
+    assert ei.value.code == 404

@@ -1,3 +1,11 @@
 from .engine import Completion, Engine, EngineConfig, Request, prompt_lookup_draft
+from .server import EngineServer
 
-__all__ = ["Engine", "EngineConfig", "Request", "Completion", "prompt_lookup_draft"]
+__all__ = [
+    "Engine",
+    "EngineConfig",
+    "Request",
+    "Completion",
+    "prompt_lookup_draft",
+    "EngineServer",
+]

@@ -123,6 +123,17 @@ class EngineConfig:
     # per host round-trip, capacity permitting.
     spec_tokens: int = 0
     spec_ngram: int = 3
+    # prefix caching (off by default): when an admitted prompt shares a long
+    # prefix with a currently-ACTIVE slot's prompt (the shared-system-prompt
+    # serving pattern), fork that slot's KV rows for the shared prefix
+    # device-side instead of recomputing them, then prefill only the suffix.
+    # Attention is causal, so a prompt-prefix's KV rows depend only on the
+    # prefix — the forked rows are bit-identical to a fresh prefill's (same
+    # params, same positions, same cache storage dtype); completions stay
+    # oracle-exact (tests/test_prefix.py).  Reuse is snapped down to a
+    # 32-token (or prefill_chunk) boundary so suffix programs reuse the
+    # existing chunk traces.
+    prefix_cache: bool = False
 
 
 def prompt_lookup_draft(hist: jax.Array, hlen: jax.Array, *, k: int, n: int) -> jax.Array:
@@ -225,7 +236,7 @@ class Engine:
         self.step_times: list[float] = []
         # traces[kind] += 1 every time a program is (re)traced; warmup() +
         # tests assert no mid-serving compile after warmup
-        self.traces = {"decode": 0, "prefill": 0}
+        self.traces = {"decode": 0, "prefill": 0, "fork": 0}
 
         if ecfg.prefill_chunk and ecfg.prefill_chunk % 32:
             raise ValueError(f"prefill_chunk must be a multiple of 32, got {ecfg.prefill_chunk}")
@@ -244,6 +255,10 @@ class Engine:
         # forwards (per-slot); tokens-per-forward > 1 is the speedup
         self._spec_emitted = 0
         self._spec_slot_forwards = 0
+        # prefix-cache accounting: forked admissions / prompt tokens whose
+        # prefill compute was skipped by KV reuse
+        self._prefix_hits = 0
+        self._prefix_tokens = 0
         # in-flight chunked admission: (req, slot, small KVCache, tokens done)
         self._pf: dict | None = None
         # the big KV cache is DONATED to every program that rewrites it:
@@ -258,6 +273,8 @@ class Engine:
         self._chunk = jax.jit(self._chunk_fn, donate_argnums=(2,))
         self._splice = jax.jit(self._splice_fn, donate_argnums=(0,))
         self._move = jax.jit(self._move_fn, donate_argnums=(0,))
+        # fork READS the big cache (no donation): it extracts a prefix copy
+        self._fork = jax.jit(self._fork_fn, static_argnames=("lp_pad",))
         self._last_decode_batch = ecfg.max_batch
         self._key = jax.random.PRNGKey(ecfg.seed)
         # multi-host: every process runs this SAME host loop in lockstep (SPMD
@@ -451,6 +468,43 @@ class Engine:
         length = cache.length.at[dst].set(cache.length[src])
         return T.KVCache(k=[mv(a) for a in cache.k], v=[mv(a) for a in cache.v], length=length)
 
+    def _fork_fn(self, cache, src, length, *, lp_pad):
+        """Copy slot ``src``'s first ``lp_pad`` KV rows into a private
+        batch-1 cache with write offset ``length`` (prefix caching): rows
+        [0, length) are the donor's shared-prompt KV (valid — a prompt
+        prefix's rows never change after prefill, decode only appends), rows
+        beyond are garbage the suffix chunks overwrite / kv_valid masks."""
+        self.traces["fork"] += 1
+        ks = [
+            jax.lax.dynamic_slice(a, (src, 0, 0, 0), (1, lp_pad) + a.shape[2:])
+            for a in cache.k
+        ]
+        vs = [
+            jax.lax.dynamic_slice(a, (src, 0, 0, 0), (1, lp_pad) + a.shape[2:])
+            for a in cache.v
+        ]
+        return T.KVCache(k=ks, v=vs, length=length[None])
+
+    def _find_prefix_donor(self, prompt: list[int], grain: int) -> tuple[int, int] | None:
+        """Longest-shared-prefix donor among ACTIVE slots: returns
+        (slot, reuse_len) with reuse_len a multiple of ``grain`` (so suffix
+        chunk programs reuse existing traces), capped at len(prompt)-1 (the
+        final position must run through a chunk to produce the first-token
+        logits).  None when the best reuse is under one grain."""
+        best: tuple[int, int] | None = None
+        for i, req in enumerate(self.slot_req):
+            if req is None:
+                continue
+            lcp = 0
+            for a, b in zip(prompt, req.prompt):
+                if a != b:
+                    break
+                lcp += 1
+            reuse = min(lcp, len(prompt) - 1) // grain * grain
+            if reuse >= grain and (best is None or reuse > best[1]):
+                best = (i, reuse)
+        return best
+
     def _batch_bucket(self, need: int) -> int:
         """Smallest allowed decode-batch bucket >= ``need``: a power of two
         times the data-axis size (slots shard over data, so a bucket must
@@ -508,11 +562,28 @@ class Engine:
                 return
             req = self.pending.popleft()
             lp_pad = self._bucket(len(req.prompt))
-            # chunk tokens index into a bucketed prompt buffer; the small
-            # cache covers the whole bucket so every chunk program for this
-            # bucket shares one trace
-            small = T.KVCache.zeros(self.cfg, 1, lp_pad, dtype=self._kv_dtype)
-            self._pf = dict(req=req, slot=slots[0], small=small, done=0, lp_pad=lp_pad)
+            done = 0
+            donor = (
+                self._find_prefix_donor(req.prompt, C)
+                if self.ecfg.prefix_cache else None
+            )
+            if donor is not None:
+                # start the chunked prefill at the donated prefix (reuse is a
+                # chunk multiple, so chunk widths stay trace-stable)
+                dslot, done = donor
+                small = self._fork(
+                    self.cache, jnp.int32(dslot), jnp.int32(done), lp_pad=lp_pad
+                )
+                self._prefix_hits += 1
+                self._prefix_tokens += done
+                log.debug("admit(prefix) uid=%d donor=%d reused=%d/%d",
+                          req.uid, dslot, done, len(req.prompt))
+            else:
+                # chunk tokens index into a bucketed prompt buffer; the small
+                # cache covers the whole bucket so every chunk program for
+                # this bucket shares one trace
+                small = T.KVCache.zeros(self.cfg, 1, lp_pad, dtype=self._kv_dtype)
+            self._pf = dict(req=req, slot=slots[0], small=small, done=done, lp_pad=lp_pad)
         pf = self._pf
         req, lp = pf["req"], len(pf["req"].prompt)
         lo = pf["done"]
@@ -605,6 +676,21 @@ class Engine:
             first, self.cache = self._prefill(
                 self.params, toks, self.cache, jnp.int32(0), jnp.int32(1), key, t1, p1
             )
+        if self.ecfg.prefix_cache:
+            # forked-admission programs: the per-bucket fork, plus (in
+            # unchunked mode) the 32-wide suffix chunk + splice the prefix
+            # path uses — chunked mode already traced chunk/splice above
+            for lp_pad in buckets:
+                small = self._fork(self.cache, jnp.int32(0), jnp.int32(0), lp_pad=lp_pad)
+                if not C:
+                    # suffix widths are 32 except a max_len-clamped bucket's tail
+                    widths = {min(32, lp_pad)} | ({lp_pad % 32} if lp_pad % 32 else set())
+                    for w in sorted(widths):
+                        _, small = self._chunk(
+                            self.params, jnp.zeros((1, w), jnp.int32),
+                            small, jnp.int32(0), key, t1, p1,
+                        )
+                    self.cache = self._splice(self.cache, small, jnp.int32(0), jnp.int32(1))
         if self.ecfg.batch_buckets:
             bbuckets = []
             b = self._batch_bucket(1)
@@ -652,13 +738,44 @@ class Engine:
             req = self.pending.popleft()
             lp = len(req.prompt)
             lp_pad = self._bucket(lp)
-            padded = np.zeros((1, lp_pad), np.int32)
-            padded[0, :lp] = req.prompt
             st, sp = self._resolve_sampling(req, slot)
-            first, self.cache = self._prefill(
-                self.params, jnp.asarray(padded), self.cache,
-                jnp.int32(slot), jnp.int32(lp), self._next_key(), st, sp,
+            donor = (
+                self._find_prefix_donor(req.prompt, 32)
+                if self.ecfg.prefix_cache else None
             )
+            if donor is not None:
+                # fork the donor's shared-prefix KV, prefill only the suffix
+                # (32-token chunks: widths stay trace-stable per bucket)
+                dslot, reuse = donor
+                small = self._fork(
+                    self.cache, jnp.int32(dslot), jnp.int32(reuse), lp_pad=lp_pad
+                )
+                lo = reuse
+                while lo < lp:
+                    hi = min(lo + 32, lp_pad)
+                    toks = np.zeros((1, hi - lo), np.int32)
+                    real = req.prompt[lo:hi]
+                    toks[0, : len(real)] = real
+                    li = min(lp, hi) - 1 - lo
+                    first, small = self._chunk(
+                        self.params, jnp.asarray(toks), small, jnp.int32(li),
+                        self._next_key(), st, sp,
+                    )
+                    lo = hi
+                self.cache = self._splice(
+                    self.cache, small, jnp.int32(slot), jnp.int32(lp)
+                )
+                self._prefix_hits += 1
+                self._prefix_tokens += reuse
+                log.debug("admit(prefix) uid=%d slot=%d donor=%d reused=%d/%d",
+                          req.uid, slot, dslot, reuse, lp)
+            else:
+                padded = np.zeros((1, lp_pad), np.int32)
+                padded[0, :lp] = req.prompt
+                first, self.cache = self._prefill(
+                    self.params, jnp.asarray(padded), self.cache,
+                    jnp.int32(slot), jnp.int32(lp), self._next_key(), st, sp,
+                )
             first = int(self._host_fetch(first))
             self.slot_req[slot] = req
             self.slot_tokens[slot] = [first]
@@ -818,6 +935,10 @@ class Engine:
                 self._spec_emitted / self._spec_slot_forwards
                 if self._spec_slot_forwards else 0.0
             ),
+            # prefix caching: admissions that forked a live slot's KV, and
+            # total prompt tokens whose prefill compute was skipped
+            prefix_hits=self._prefix_hits,
+            prefix_tokens_reused=self._prefix_tokens,
             # mean time-to-first-token and per-output-token latency over
             # finished requests (wall clock incl. queueing)
             mean_ttft_s=sum(c.ttft_s for c in done) / len(done) if done else 0.0,
