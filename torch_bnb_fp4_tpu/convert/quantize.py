@@ -73,12 +73,21 @@ def quantize_pack_sharded(
 
 
 def quantize_pack_pairk(w: np.ndarray, blocksize: int = 64, variant: str = "exact", scale_dtype=np.float32):
-    """Fast bit-identical equivalent of ``fmt.pack_tpu_pairk`` (torch ops).
+    """Fast bit-identical equivalent of ``fmt.pack_tpu_pairk``.
 
     Returns (packed uint8 (K/2, N) rank-coded pair-K bytes,
     scale (K/bs, N) = absmax/192 in ``scale_dtype``).  ``variant``: stored
     codebook (ops/format.PAIRK_MAGS192).  bf16 scales re-quantize codes
-    against the rounded scale, exactly like pack_tpu_pairk."""
+    against the rounded scale, exactly like pack_tpu_pairk.
+
+    Dispatches to the native C packer (csrc/qpack.c, ~20x) when a compiler
+    is present; the torch path below is the portable fallback.  Both are
+    bit-identical to the golden (tests/test_native.py, tests/test_convert.py).
+    """
+    from . import native
+
+    if native.available():
+        return native.quantize_pack_pairk_native(w, blocksize, variant, scale_dtype)
     import torch
 
     w = np.ascontiguousarray(w, dtype=np.float32)
@@ -110,8 +119,13 @@ def quantize_pack_pairk(w: np.ndarray, blocksize: int = 64, variant: str = "exac
 
 
 def quantize_pack_pairk_lut(w: np.ndarray, codebook: np.ndarray, blocksize: int = 64):
-    """Fast bit-identical equivalent of ``fmt.pack_tpu_pairk_lut`` (torch
-    ops): rank-pack against an arbitrary sorted 16-entry codebook (NF4)."""
+    """Fast bit-identical equivalent of ``fmt.pack_tpu_pairk_lut``: rank-pack
+    against an arbitrary sorted 16-entry codebook (NF4).  Native C path when
+    available (csrc/qpack.c), torch fallback below."""
+    from . import native
+
+    if native.available():
+        return native.quantize_pack_pairk_lut_native(w, codebook, blocksize)
     import torch
 
     w = np.ascontiguousarray(w, dtype=np.float32)
