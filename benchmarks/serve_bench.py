@@ -110,9 +110,55 @@ def jitter(model="mistral7b", chunk=0):
           f"p99/p50 {np.percentile(loaded,99)/np.percentile(loaded,50):.2f}", flush=True)
 
 
+def prefix(model="mistral7b", sys_len=1024):
+    """Shared-system-prompt admission cost with vs without prefix caching:
+    wall time of the tick that admits a request whose first ``sys_len``
+    tokens match a live slot's prompt.  With prefix_cache the engine forks
+    the donor's KV rows and prefills only the suffix; without it the full
+    prompt prefills.  Both pay one ~31ms host RTT for the first-token fetch.
+
+    Run: python benchmarks/serve_bench.py prefix [model] [sys_len]"""
+    import dataclasses
+
+    from torch_bnb_fp4_tpu.serve import Engine, EngineConfig, Request
+
+    cfg = {"mistral7b": ModelConfig.mistral_7b, "tinyllama": ModelConfig.tinyllama_1b}[model]()
+    cfg = dataclasses.replace(cfg, quantize_lm_head=True)
+    params = synth_params(cfg, quantized=True, seed=0, fuse=True)
+    jax.block_until_ready(params)
+    rng = np.random.default_rng(0)
+    sysp = rng.integers(1, cfg.vocab_size, sys_len).tolist()
+    for pc in (False, True):
+        eng = Engine(params, cfg, EngineConfig(
+            max_batch=4, max_len=sys_len + 128, inner_steps=4, prefix_cache=pc))
+        print(f"warmup (prefix_cache={pc})...", file=sys.stderr, flush=True)
+        eng.warmup(prompt_lens=[sys_len + 8])
+        # donor: occupies slot 0 and keeps decoding while B-requests arrive
+        eng.submit(Request(uid=1, prompt=sysp + [7, 8], max_new_tokens=120))
+        for _ in range(4):
+            eng.step()
+        times = []
+        for i in range(4):
+            eng.submit(Request(uid=10 + i, prompt=sysp + [11 + i, 3], max_new_tokens=4))
+            t0 = time.perf_counter()
+            eng.step()  # the admission tick (prefill or fork+suffix, + decode)
+            times.append(time.perf_counter() - t0)
+            while any(r is not None and r.uid == 10 + i for r in eng.slot_req):
+                eng.step()
+        st = eng.stats()
+        print(f"{model} sys_len={sys_len} prefix_cache={pc}: admission tick "
+              f"{min(times)*1e3:.1f} ms (best of {len(times)}; incl. ~31ms RTT)  "
+              f"hits={st['prefix_hits']} reused={st['prefix_tokens_reused']}",
+              flush=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "jitter":
         jitter(sys.argv[2] if len(sys.argv) > 2 else "mistral7b",
                int(sys.argv[3]) if len(sys.argv) > 3 else 0)
+        sys.exit(0)
+    if len(sys.argv) > 1 and sys.argv[1] == "prefix":
+        prefix(sys.argv[2] if len(sys.argv) > 2 else "mistral7b",
+               int(sys.argv[3]) if len(sys.argv) > 3 else 1024)
         sys.exit(0)
     main()
