@@ -63,6 +63,19 @@ def test_eos_stops_early(params):
     assert res[7].tokens == expected
 
 
+def test_stop_ids_stop_early(params):
+    """stop_ids behave like extra EOS tokens: generation ends at the first
+    member emitted, finish_reason 'stop' (vs 'eos' for eos_id)."""
+    probe = _oracle(params, [2, 3], 6)
+    stop = probe[2]
+    expected = probe[: probe.index(stop) + 1]
+    eng = Engine(params, CFG, EngineConfig(max_batch=2, max_len=32))
+    res = eng.run([Request(uid=8, prompt=[2, 3], max_new_tokens=6,
+                           stop_ids=[9999, stop])])
+    assert res[8].finish_reason == "stop"
+    assert res[8].tokens == expected
+
+
 def test_temperature_sampling_valid_and_seeded(params):
     """Sampled generation is deterministic per seed and differs across seeds
     (for a near-uniform random model)."""

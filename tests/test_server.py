@@ -113,6 +113,58 @@ def test_concurrent_requests_batch(server, params):
         assert out[uid]["tokens"] == _oracle(params, prompt, 6), uid
 
 
+class _FakeTok:
+    """Duck-typed tokenizer (the server requires only encode/decode +
+    eos_token_id, which HF AutoTokenizer provides)."""
+
+    eos_token_id = 97
+
+    def encode(self, s):
+        return [ord(c) % 250 for c in s]
+
+    def decode(self, ids):
+        return "".join(chr(t) for t in ids)
+
+
+@pytest.fixture(scope="module")
+def text_server(params):
+    eng = Engine(params, CFG, EngineConfig(max_batch=2, max_len=48, inner_steps=2))
+    srv = EngineServer(eng, port=0, tokenizer=_FakeTok()).start()
+    yield srv
+    srv.stop()
+
+
+def test_text_prompt_roundtrip(text_server, params):
+    """'text' in -> tokenize server-side -> decoded 'text' out; tokens match
+    the oracle on the encoded prompt; eos defaults from the tokenizer."""
+    got = _post(text_server, {"text": "ab", "max_tokens": 6})
+    prompt = _FakeTok().encode("ab")
+    want = _oracle(params, prompt, 6)
+    eos = _FakeTok.eos_token_id
+    want = want[: want.index(eos) + 1] if eos in want else want
+    assert got["tokens"] == want
+    assert got["text"] == _FakeTok().decode(want)
+    assert got["prompt_len"] == 2
+
+
+def test_text_prompt_without_tokenizer_rejected(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server, {"text": "hello"})
+    assert ei.value.code == 400
+    assert "tokenizer" in json.loads(ei.value.read())["error"]
+
+
+def test_stop_ids_over_http(server, params):
+    prompt = [1, 2, 3, 4]
+    want = _oracle(params, prompt, 7)
+    stop = want[3]
+    got = _post(server, {"prompt": prompt, "max_tokens": 7, "stop_ids": [stop]})
+    assert got["finish_reason"] == "stop"
+    assert got["tokens"] == want[: want.index(stop) + 1]
+    with pytest.raises(urllib.error.HTTPError):
+        _post(server, {"prompt": prompt, "stop_ids": "x"})
+
+
 def test_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(server, {"prompt": "not token ids"})

@@ -33,6 +33,9 @@ def main() -> None:
     ap.add_argument("--prefix-cache", action="store_true")
     ap.add_argument("--kv-dtype", default="bfloat16",
                     choices=["bfloat16", "float8_e4m3fn"])
+    ap.add_argument("--tokenizer", default=None, metavar="DIR",
+                    help="local HF tokenizer dir: enables {'text': ...} "
+                         "prompts and decoded 'text' in completions")
     ap.add_argument("--warmup-prompt-len", type=int, default=0,
                     help="pre-compile all serving programs for prompts up to "
                          "this length before accepting traffic")
@@ -65,7 +68,13 @@ def main() -> None:
         logging.info("warming up (prompts to %d)...", args.warmup_prompt_len)
         eng.warmup(max_prompt_len=args.warmup_prompt_len)
 
-    srv = EngineServer(eng, host=args.host, port=args.port).start()
+    tok = None
+    if args.tokenizer:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(args.tokenizer, local_files_only=True)
+
+    srv = EngineServer(eng, host=args.host, port=args.port, tokenizer=tok).start()
     print(f"serving on http://{srv.host}:{srv.port}  (Ctrl-C to stop)")
     try:
         srv._http_thread.join()

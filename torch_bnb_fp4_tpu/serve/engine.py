@@ -42,6 +42,9 @@ class Request:
     prompt: list[int]
     max_new_tokens: int = 64
     eos_id: int | None = None
+    # additional stop tokens (host-side check, like eos_id): generation ends
+    # when any of them is emitted; finish_reason becomes "stop"
+    stop_ids: list[int] | None = None
     # per-request sampling overrides (None = the engine defaults).  The
     # sampling PROGRAM structure is fixed by EngineConfig (a greedy-configured
     # engine compiles no sampling path — see _select), so overrides only take
@@ -57,7 +60,7 @@ class Completion:
     uid: int
     tokens: list[int]
     prompt_len: int
-    finish_reason: str  # "eos" | "length"
+    finish_reason: str  # "eos" | "stop" | "length"
     # serving latency metrics (host wall clock; SURVEY.md §5 observability)
     ttft_s: float = 0.0  # submit -> first token (queue wait + prefill)
     total_s: float = 0.0  # submit -> completion
@@ -815,6 +818,8 @@ class Engine:
             toks = self.slot_tokens[i]
             if req.eos_id is not None and toks and toks[-1] == req.eos_id:
                 self._retire(i, "eos")
+            elif req.stop_ids and toks and toks[-1] in req.stop_ids:
+                self._retire(i, "stop")
             elif len(toks) >= req.max_new_tokens:
                 self._retire(i, "length")
             elif len(req.prompt) + len(toks) >= self.ecfg.max_len:
@@ -899,8 +904,10 @@ class Engine:
                 self._tokens_out += 1
                 if self.on_token is not None:
                     self.on_token(req.uid, t)
-                if req.eos_id is not None and t == req.eos_id:
-                    break  # tokens decoded past EOS inside the scan are dropped
+                if (req.eos_id is not None and t == req.eos_id) or (
+                    req.stop_ids and t in req.stop_ids
+                ):
+                    break  # tokens decoded past EOS/stop inside the scan are dropped
                 if len(self.slot_tokens[i]) >= req.max_new_tokens:
                     break  # tokens past the request budget are dropped too
             self.slot_cur[i] = self.slot_tokens[i][-1]

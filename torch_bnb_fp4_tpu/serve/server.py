@@ -17,7 +17,7 @@ Endpoints
 ---------
   POST /v1/completions   {"prompt": [token ids], "max_tokens": N,
                           "temperature"?: f, "top_p"?: f, "eos_id"?: id,
-                          "stream"?: bool}
+                          "stop_ids"?: [ids], "stream"?: bool}
       -> {"uid", "tokens", "finish_reason", "prompt_len", "ttft_s", "total_s"}
       or, with "stream": true, chunked server-sent-event lines
       ``data: {"token": t}`` per generated token and a final
@@ -25,9 +25,13 @@ Endpoints
   GET  /v1/stats          engine.stats() as JSON
   GET  /health            200 "ok"
 
-Prompts are token-id lists: tokenization is deliberately outside the server
-(the reference consumes pre-tokenized tensors the same way; pair with any HF
-tokenizer client-side).
+Prompts are token-id lists by default (pair with any HF tokenizer
+client-side).  Passing ``tokenizer=`` (anything with ``encode(str) ->
+[ids]`` / ``decode([ids]) -> str`` — an HF ``AutoTokenizer`` qualifies, see
+``python -m torch_bnb_fp4_tpu.serve --tokenizer``) additionally enables
+``{"text": "..."}`` prompts, a decoded ``"text"`` field on completions, and
+defaults ``eos_id`` to ``tokenizer.eos_token_id`` — the text-in/text-out
+flow of the reference's Mistral demo (speed_test_mistral_7b.py:106-130).
 """
 
 from __future__ import annotations
@@ -62,8 +66,10 @@ class EngineServer:
     ``stop()`` shuts both down.
     """
 
-    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 8000):
+    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 8000,
+                 tokenizer=None):
         self.engine = engine
+        self.tokenizer = tokenizer
         self._subq: queue.Queue = queue.Queue()
         self._pending: dict[int, _Pending] = {}
         self._plock = threading.Lock()  # guards _pending and _uid only
@@ -99,18 +105,34 @@ class EngineServer:
     def _submit(self, body: dict, stream: bool) -> tuple[int, _Pending]:
         """Handler-thread side: validate, register a pending slot, enqueue."""
         prompt = body.get("prompt")
+        if prompt is None and "text" in body:
+            if self.tokenizer is None:
+                raise ValueError('"text" prompts need a server-side tokenizer '
+                                 "(start with --tokenizer); send token ids instead")
+            if not isinstance(body["text"], str):
+                raise ValueError("text must be a string")
+            prompt = [int(t) for t in self.tokenizer.encode(body["text"])]
         if not isinstance(prompt, list) or not all(isinstance(t, int) for t in prompt):
             raise ValueError("prompt must be a list of token ids")
+        stop_ids = body.get("stop_ids")
+        if stop_ids is not None and (
+            not isinstance(stop_ids, list) or not all(isinstance(t, int) for t in stop_ids)
+        ):
+            raise ValueError("stop_ids must be a list of token ids")
         with self._plock:
             self._uid += 1
             uid = self._uid
             p = _Pending(stream)
             self._pending[uid] = p
+        eos_id = body.get("eos_id")
+        if eos_id is None and self.tokenizer is not None:
+            eos_id = getattr(self.tokenizer, "eos_token_id", None)
         req = Request(
             uid=uid,
             prompt=prompt,
             max_new_tokens=int(body.get("max_tokens", 64)),
-            eos_id=body.get("eos_id"),
+            eos_id=eos_id,
+            stop_ids=stop_ids,
             temperature=body.get("temperature"),
             top_p=body.get("top_p"),
         )
@@ -213,7 +235,7 @@ class EngineServer:
                 if p.error is not None:
                     self._json(400, {"error": p.error, "uid": uid})
                 else:
-                    self._json(200, _completion_json(uid, p.completion))
+                    self._json(200, server._completion_json(uid, p.completion))
 
             def _stream(self, uid: int, p: _Pending) -> None:
                 self.send_response(200)
@@ -234,18 +256,21 @@ class EngineServer:
                 if p.error is not None:
                     chunk({"error": p.error, "uid": uid})
                 else:
-                    chunk({"done": _completion_json(uid, p.completion)})
+                    chunk({"done": server._completion_json(uid, p.completion)})
                 self.wfile.write(b"0\r\n\r\n")  # final chunk
 
         return Handler
 
 
-def _completion_json(uid: int, c) -> dict:
-    return {
-        "uid": uid,
-        "tokens": c.tokens,
-        "finish_reason": c.finish_reason,
-        "prompt_len": c.prompt_len,
-        "ttft_s": round(c.ttft_s, 6),
-        "total_s": round(c.total_s, 6),
-    }
+    def _completion_json(self, uid: int, c) -> dict:
+        out = {
+            "uid": uid,
+            "tokens": c.tokens,
+            "finish_reason": c.finish_reason,
+            "prompt_len": c.prompt_len,
+            "ttft_s": round(c.ttft_s, 6),
+            "total_s": round(c.total_s, 6),
+        }
+        if self.tokenizer is not None:
+            out["text"] = self.tokenizer.decode(c.tokens)
+        return out
