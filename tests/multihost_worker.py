@@ -137,3 +137,36 @@ all_blobs = multihost_utils.process_allgather(blob)
 assert (np.asarray(all_blobs) == blob[None, :]).all(), "processes disagree on completions"
 
 print(f"MULTIHOST_ENGINE_OK pid={pid} completions={len(res)}", flush=True)
+
+# ---------------------------------------------------------------------------
+# Serving features with host-side state across processes: prefix caching
+# (donor search + KV fork) and speculative decoding (history-driven drafts)
+# both depend on every process holding identical slot bookkeeping — one
+# divergent branch desyncs the SPMD program streams.  Greedy completions
+# must still match the single-process oracle exactly.
+# ---------------------------------------------------------------------------
+SYS = list(range(3, 39))  # 36-token shared prefix (>= one 32-token grain)
+eng2 = Engine(
+    gparams, cfg,
+    EngineConfig(max_batch=2 * n_data, max_len=56, inner_steps=2,
+                 prefix_cache=True, spec_tokens=2),
+    mesh=mesh,
+)
+reqs2 = [
+    Request(uid=1, prompt=SYS + [40, 41], max_new_tokens=5),
+    Request(uid=2, prompt=SYS + [50], max_new_tokens=6),
+    Request(uid=3, prompt=[9, 8], max_new_tokens=4),
+]
+res2 = eng2.run(reqs2)
+for r in reqs2:
+    want = np.asarray(
+        generate(params, cfg, jnp.asarray([r.prompt], jnp.int32), max_new_tokens=r.max_new_tokens)
+    )[0].tolist()
+    assert res2[r.uid].tokens == want, (pid, r.uid, res2[r.uid].tokens, want)
+st2 = eng2.stats()
+assert st2["prefix_hits"] >= 1, st2
+blob2 = np.asarray([t for r in reqs2 for t in res2[r.uid].tokens], np.int32)
+all2 = multihost_utils.process_allgather(blob2)
+assert (np.asarray(all2) == blob2[None, :]).all(), "processes disagree (prefix/spec)"
+
+print(f"MULTIHOST_FEATURES_OK pid={pid} prefix_hits={st2['prefix_hits']}", flush=True)

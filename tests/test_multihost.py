@@ -49,3 +49,4 @@ def test_two_process_tp_forward():
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert "MULTIHOST_OK" in out, out
         assert "MULTIHOST_ENGINE_OK" in out, out
+        assert "MULTIHOST_FEATURES_OK" in out, out

@@ -110,6 +110,31 @@ def test_prefix_with_chunked_prefill(params):
     assert st["prefix_hits"] == 1 and st["prefix_tokens_reused"] == 32, st
 
 
+def test_prefix_on_data_model_mesh(params):
+    """Prefix fork on a data=2 x model=2 mesh: the donor slot's KV rows live
+    data-sharded; the fork's dynamic_slice crosses the sharded batch dim and
+    the spliced result must still be oracle-exact."""
+    from torch_bnb_fp4_tpu.parallel import make_mesh, shard_params, validate_tp
+
+    validate_tp(CFG, 2)
+    mesh = make_mesh(n_model=2, n_data=2)
+    sparams = shard_params(params, mesh)
+    eng = Engine(
+        sparams, CFG,
+        EngineConfig(max_batch=4, max_len=64, inner_steps=2, prefix_cache=True),
+        mesh=mesh,
+    )
+    reqs = [
+        Request(uid=1, prompt=SYS + [11, 12], max_new_tokens=6),
+        Request(uid=2, prompt=SYS + [21, 22], max_new_tokens=6),
+        Request(uid=3, prompt=[5, 6], max_new_tokens=4),
+    ]
+    res = eng.run(reqs)
+    for r in reqs:
+        assert res[r.uid].tokens == _oracle(params, r.prompt, r.max_new_tokens), r.uid
+    assert eng.stats()["prefix_hits"] >= 1
+
+
 def test_prefix_warmup_no_retrace(params):
     eng = Engine(
         params, CFG,

@@ -76,6 +76,25 @@ def test_stop_ids_stop_early(params):
     assert res[8].tokens == expected
 
 
+def test_abort(params):
+    """abort() cancels queued and active requests; unaffected requests stay
+    oracle-exact; unknown uids return False."""
+    eng = Engine(params, CFG, EngineConfig(max_batch=1, max_len=32))
+    eng.submit(Request(uid=1, prompt=[1, 2], max_new_tokens=6))
+    eng.submit(Request(uid=2, prompt=[3, 4], max_new_tokens=6))
+    assert eng.abort(2)  # still queued -> empty completion
+    eng.step()  # admits uid 1
+    assert eng.abort(1)  # active -> keeps tokens so far
+    assert not eng.abort(99)
+    eng.submit(Request(uid=3, prompt=[5, 6], max_new_tokens=4))
+    while len(eng.completions) < 3:
+        eng.step()
+    res = {c.uid: c for c in eng.completions}
+    assert res[2].finish_reason == "abort" and res[2].tokens == []
+    assert res[1].finish_reason == "abort" and len(res[1].tokens) >= 1
+    assert res[3].tokens == _oracle(params, [5, 6], 4)
+
+
 def test_temperature_sampling_valid_and_seeded(params):
     """Sampled generation is deterministic per seed and differs across seeds
     (for a near-uniform random model)."""

@@ -41,9 +41,9 @@ def _oracle(params, prompt, n):
     return np.asarray(out)[0].tolist()
 
 
-def _post(srv, body, timeout=300):
+def _post(srv, body, timeout=300, path="/v1/completions"):
     req = urllib.request.Request(
-        f"http://{srv.host}:{srv.port}/v1/completions",
+        f"http://{srv.host}:{srv.port}{path}",
         data=json.dumps(body).encode(),
         headers={"Content-Type": "application/json"},
     )
@@ -163,6 +163,31 @@ def test_stop_ids_over_http(server, params):
     assert got["tokens"] == want[: want.index(stop) + 1]
     with pytest.raises(urllib.error.HTTPError):
         _post(server, {"prompt": prompt, "stop_ids": "x"})
+
+
+def test_abort_over_http(server):
+    """A streaming client reads its uid from the first event and aborts its
+    own request; the stream ends with finish_reason 'abort'."""
+    req = urllib.request.Request(
+        f"http://{server.host}:{server.port}/v1/completions",
+        data=json.dumps({"prompt": [2, 2, 2], "max_tokens": 40, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    done = None
+    with urllib.request.urlopen(req, timeout=300) as r:
+        for line in r:
+            line = line.strip()
+            if not line.startswith(b"data: "):
+                continue
+            obj = json.loads(line[6:])
+            if "uid" in obj and done is None and "done" not in obj:
+                got = _post(server, {"uid": obj["uid"]}, path="/v1/abort")
+                assert got == {"uid": obj["uid"], "aborted": True}
+            elif "done" in obj:
+                done = obj["done"]
+    assert done is not None and done["finish_reason"] == "abort"
+    # aborting a finished request is a no-op
+    assert _post(server, {"uid": done["uid"]}, path="/v1/abort")["aborted"] is False
 
 
 def test_bad_requests(server):

@@ -60,7 +60,7 @@ class Completion:
     uid: int
     tokens: list[int]
     prompt_len: int
-    finish_reason: str  # "eos" | "stop" | "length"
+    finish_reason: str  # "eos" | "stop" | "length" | "abort"
     # serving latency metrics (host wall clock; SURVEY.md §5 observability)
     ttft_s: float = 0.0  # submit -> first token (queue wait + prefill)
     total_s: float = 0.0  # submit -> completion
@@ -625,6 +625,40 @@ class Engine:
             raise ValueError(f"prompt len {len(req.prompt)} >= max_len {self.ecfg.max_len}")
         self._submit_t[req.uid] = time.perf_counter()
         self.pending.append(req)
+
+    def abort(self, uid: int) -> bool:
+        """Cancel a request wherever it is (queued, mid-chunked-prefill, or
+        decoding).  A request that already produced tokens completes with
+        finish_reason "abort" and the tokens so far; a queued one completes
+        empty.  Returns False if the uid is unknown (e.g. already finished).
+
+        Host-side only (frees the slot; no device work is cut short — the
+        in-flight tick finishes and the freed slot just stops being fed).
+        Multi-host: call on every process in the same tick, like submit().
+        """
+        for i, r in enumerate(self.pending):
+            if r.uid == uid:
+                del self.pending[i]
+                t = self._submit_t.pop(uid, time.perf_counter())
+                self.completions.append(Completion(
+                    uid=uid, tokens=[], prompt_len=len(r.prompt),
+                    finish_reason="abort", ttft_s=0.0,
+                    total_s=time.perf_counter() - t))
+                return True
+        if self._pf is not None and self._pf["req"].uid == uid:
+            r = self._pf["req"]
+            self._pf = None  # its small cache is dropped; slot was never bound
+            t = self._submit_t.pop(uid, time.perf_counter())
+            self.completions.append(Completion(
+                uid=uid, tokens=[], prompt_len=len(r.prompt),
+                finish_reason="abort", ttft_s=0.0,
+                total_s=time.perf_counter() - t))
+            return True
+        for i, r in enumerate(self.slot_req):
+            if r is not None and r.uid == uid:
+                self._retire(i, "abort")
+                return True
+        return False
 
     def _free_slots(self) -> list[int]:
         return [i for i, r in enumerate(self.slot_req) if r is None]

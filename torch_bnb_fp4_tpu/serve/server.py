@@ -22,6 +22,9 @@ Endpoints
       or, with "stream": true, chunked server-sent-event lines
       ``data: {"token": t}`` per generated token and a final
       ``data: {"done": {...completion...}}``.
+  POST /v1/abort          {"uid": N} -> {"aborted": bool}; the request
+      completes with finish_reason "abort" (streaming clients receive the
+      uid as the FIRST event: ``data: {"uid": N}``)
   GET  /v1/stats          engine.stats() as JSON
   GET  /health            200 "ok"
 
@@ -71,6 +74,7 @@ class EngineServer:
         self.engine = engine
         self.tokenizer = tokenizer
         self._subq: queue.Queue = queue.Queue()
+        self._abortq: queue.Queue = queue.Queue()  # uids; engine thread drains
         self._pending: dict[int, _Pending] = {}
         self._plock = threading.Lock()  # guards _pending and _uid only
         self._uid = 0
@@ -171,6 +175,13 @@ class EngineServer:
                     req = self._subq.get_nowait()
             except queue.Empty:
                 pass
+            while not self._abortq.empty():
+                try:
+                    uid, holder = self._abortq.get_nowait()
+                except queue.Empty:
+                    break
+                holder["aborted"] = self.engine.abort(uid)
+                holder["done"].set()
             if self._busy():
                 self.engine.step()
             # fan out finished completions
@@ -217,6 +228,18 @@ class EngineServer:
                     self._json(404, {"error": f"no such path: {self.path}"})
 
             def do_POST(self):
+                if self.path == "/v1/abort":
+                    try:
+                        n = int(self.headers.get("Content-Length", 0))
+                        uid = int(json.loads(self.rfile.read(n) or b"{}")["uid"])
+                    except (ValueError, KeyError, json.JSONDecodeError) as e:
+                        self._json(400, {"error": f"need an integer uid: {e}"})
+                        return
+                    holder = {"done": threading.Event(), "aborted": False}
+                    server._abortq.put((uid, holder))
+                    holder["done"].wait(timeout=60)
+                    self._json(200, {"uid": uid, "aborted": holder["aborted"]})
+                    return
                 if self.path != "/v1/completions":
                     self._json(404, {"error": f"no such path: {self.path}"})
                     return
@@ -247,6 +270,7 @@ class EngineServer:
                     data = b"data: " + json.dumps(obj).encode() + b"\n\n"
                     self.wfile.write(b"%x\r\n" % len(data) + data + b"\r\n")
 
+                chunk({"uid": uid})  # first event: the abort handle
                 while True:
                     tok = p.stream_q.get()
                     if tok is None:
