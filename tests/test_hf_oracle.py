@@ -1,0 +1,101 @@
+"""External-oracle test: our convert -> forward stack vs the REAL HuggingFace
+transformers implementations (random weights, CPU).
+
+The twin-model tests elsewhere validate quantization against OUR bf16
+decoder; this file validates the decoder itself — RoPE convention, RMSNorm
+placement, GQA head mapping, sliding-window masking, Qwen2 attention bias —
+against the independent upstream implementation of each supported family
+(the reference never needs this because it keeps the HF model object and
+swaps only linears; we re-implement the whole decoder, so equivalence to HF
+is the load-bearing claim behind "switch your checkpoint to this framework").
+
+Dense path (ignore=[''] keeps every linear bf16) must match HF's f32 logits
+to bf16 accumulation error; the quantized path must stay within FP4's error
+envelope (correlation), and greedy argmax must agree for the dense twin.
+"""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_bnb_fp4_tpu.convert import convert_hf_model, load_checkpoint
+from torch_bnb_fp4_tpu.models import KVCache, forward
+
+pytestmark = pytest.mark.slow
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def _small(**kw):
+    base = dict(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    base.update(kw)
+    return base
+
+
+FAMILIES = {
+    "llama": (transformers.LlamaConfig, transformers.LlamaForCausalLM, _small()),
+    "mistral_sw": (
+        transformers.MistralConfig, transformers.MistralForCausalLM,
+        _small(sliding_window=4, rope_theta=1e6),  # window < prompt: masking live
+    ),
+    "qwen2": (
+        transformers.Qwen2Config, transformers.Qwen2ForCausalLM,
+        _small(),  # qwen2 carries q/k/v biases by default
+    ),
+}
+
+
+def _build(tmp_path, family):
+    cfg_cls, model_cls, kw = FAMILIES[family]
+    torch.manual_seed(3)
+    hf_cfg = cfg_cls(**kw)
+    hf_cfg._attn_implementation = "eager"
+    model = model_cls(hf_cfg).eval()
+    src = str(tmp_path / "hf")
+    model.save_pretrained(src, safe_serialization=True)
+    # HF may omit fields it considers defaults; the converter reads config.json
+    with open(os.path.join(src, "config.json")) as f:
+        assert json.load(f)["hidden_size"] == 128
+    tokens = np.array([[5, 9, 2, 250, 17, 33, 101, 7]], np.int32)  # len 8 > window 4
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens).long()).logits.float().numpy()
+    return src, tokens, want
+
+
+def _ours(src, out, tokens, **convert_kw):
+    cfg = convert_hf_model(src, out, verbose=False, **convert_kw)
+    cfg2, params = load_checkpoint(out)
+    logits, _ = forward(params, cfg2, jnp.asarray(tokens), KVCache.zeros(cfg2, 1, 16))
+    return cfg2, np.asarray(logits, np.float32)
+
+
+@pytest.mark.parametrize("family", sorted(FAMILIES))
+def test_dense_matches_hf(tmp_path, family):
+    """bf16 dense path vs HF f32: every position's logits agree to bf16
+    accumulation error, and greedy argmax agrees everywhere."""
+    src, tokens, want = _build(tmp_path, family)
+    _, got = _ours(src, str(tmp_path / "out"), tokens, ignore=[""])
+    # scale-free comparison: bf16 holds ~3 decimal digits; two layers + head
+    err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
+    assert err < 0.02, (family, err)
+    c = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert c > 0.9999, (family, c)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+@pytest.mark.parametrize("family", ["llama", "mistral_sw"])
+def test_quantized_tracks_hf(tmp_path, family):
+    """FP4-quantized forward stays within the quantization envelope of the
+    upstream implementation (correlation; exact bands live in test_linear)."""
+    src, tokens, want = _build(tmp_path, family)
+    _, got = _ours(src, str(tmp_path / "outq"), tokens)
+    c = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert c > 0.98, (family, c)
