@@ -50,6 +50,13 @@ FAMILIES = {
         transformers.Qwen2Config, transformers.Qwen2ForCausalLM,
         _small(),  # qwen2 carries q/k/v biases by default
     ),
+    "gemma": (
+        transformers.GemmaConfig, transformers.GemmaForCausalLM,
+        # decoupled head_dim (4 x 64 != dim 128), GeGLU, (1+w) norms,
+        # sqrt(dim)-scaled embeddings, tied lm_head
+        _small(head_dim=64, tie_word_embeddings=True,
+               hidden_activation="gelu_pytorch_tanh"),
+    ),
 }
 
 
@@ -91,7 +98,7 @@ def test_dense_matches_hf(tmp_path, family):
     np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
 
 
-@pytest.mark.parametrize("family", ["llama", "mistral_sw"])
+@pytest.mark.parametrize("family", ["llama", "mistral_sw", "gemma"])
 def test_quantized_tracks_hf(tmp_path, family):
     """FP4-quantized forward stays within the quantization envelope of the
     upstream implementation (correlation; exact bands live in test_linear)."""

@@ -50,6 +50,16 @@ def config_from_hf(model_dir: str, **overrides) -> ModelConfig:
         # checkpoint's .bias tensors regardless.
         attn_bias=bool(hf.get("attention_bias", hf.get("model_type") == "qwen2")),
     )
+    # Gemma family: decoupled head_dim, GeGLU, (1+w) norms, sqrt(dim) embed
+    # scaling, always-tied lm_head (validated vs HF in tests/test_hf_oracle.py)
+    act = hf.get("hidden_activation") or hf.get("hidden_act", "silu")
+    if act in ("gelu", "gelu_pytorch_tanh", "gelu_new"):
+        kw["hidden_act"] = "gelu_tanh"
+    if hf.get("head_dim") is not None:
+        kw["head_dim"] = hf["head_dim"]
+    if hf.get("model_type", "").startswith("gemma"):
+        kw["norm_offset"] = True
+        kw["embed_scale"] = True
     kw.update(overrides)
     return ModelConfig(**kw)
 

@@ -56,10 +56,27 @@ class ModelConfig:
     # PAIRK_MAGS192): "ramp" = 7-op decode (default; slightly more accurate
     # than exact FP4 for Gaussian weights), "exact" = bit-exact bnb codes.
     variant: str = "ramp"
+    # Gemma-family knobs (HF GemmaModel conventions, validated against
+    # transformers in tests/test_hf_oracle.py):
+    #   head_dim      explicit per-head width (None = dim // n_heads; Gemma
+    #                 decouples it, e.g. 3072/16 heads but head_dim 256)
+    #   hidden_act    "silu" (Llama/Mistral/Qwen2) | "gelu_tanh" (GeGLU)
+    #   norm_offset   RMSNorm multiplies by (1 + w) in f32 before downcast
+    #   embed_scale   embeddings scaled by bf16(sqrt(dim)) after lookup
+    head_dim: int | None = None
+    hidden_act: str = "silu"
+    norm_offset: bool = False
+    embed_scale: bool = False
+
+    def __post_init__(self):
+        if self.head_dim is None:
+            object.__setattr__(self, "head_dim", self.dim // self.n_heads)
 
     @property
-    def head_dim(self) -> int:
-        return self.dim // self.n_heads
+    def q_dim(self) -> int:
+        """q/o projection width — equals ``dim`` except when head_dim is
+        decoupled (Gemma)."""
+        return self.n_heads * self.head_dim
 
     @classmethod
     def mistral_7b(cls) -> "ModelConfig":
@@ -97,6 +114,16 @@ class ModelConfig:
         return cls(
             vocab_size=152064, dim=3584, n_layers=28, n_heads=28, n_kv_heads=4,
             ffn_dim=18944, rope_theta=1e6, rms_eps=1e-6, attn_bias=True,
+        )
+
+    @classmethod
+    def gemma_7b(cls) -> "ModelConfig":
+        # Gemma-7B: decoupled head_dim (16 heads x 256 > dim 3072), GeGLU,
+        # (1+w) norms, sqrt(dim)-scaled embeddings, tied lm_head
+        return cls(
+            vocab_size=256000, dim=3072, n_layers=28, n_heads=16, n_kv_heads=16,
+            ffn_dim=24576, rms_eps=1e-6, head_dim=256, hidden_act="gelu_tanh",
+            norm_offset=True, embed_scale=True,
         )
 
     @classmethod
@@ -163,10 +190,23 @@ class KVCache:
         return self.k[0].shape[1]
 
 
-def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float, offset: bool = False) -> jax.Array:
     xf = x.astype(jnp.float32)
     scale = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    if offset:
+        # Gemma convention: multiply by (1 + w) IN f32, downcast after
+        # (HF GemmaRMSNorm; Llama downcasts first, then multiplies in bf16)
+        return (xf * scale * (1.0 + weight.astype(jnp.float32))).astype(x.dtype)
     return (xf * scale).astype(x.dtype) * weight
+
+
+def _act(cfg: "ModelConfig", gate: jax.Array) -> jax.Array:
+    """MLP gate activation in f32 (cast back at the caller): SiLU for the
+    Llama family, tanh-approximated GeLU for Gemma (HF gelu_pytorch_tanh)."""
+    g = gate.astype(jnp.float32)
+    if cfg.hidden_act == "gelu_tanh":
+        return jax.nn.gelu(g, approximate=True)
+    return jax.nn.silu(g)
 
 
 def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
@@ -279,7 +319,7 @@ def _layer_forward(
         out_dtype = jnp.float32 if axis_name is not None else None
         return q_lin(h_in, out_dtype=out_dtype)
 
-    h = rms_norm(x, lp.attn_norm, cfg.rms_eps)
+    h = rms_norm(x, lp.attn_norm, cfg.rms_eps, cfg.norm_offset)
     if lp.wqkv is not None:
         qkv = lp.wqkv(h)
         qc, kc = n_heads * cfg.head_dim, n_kv * cfg.head_dim
@@ -300,7 +340,7 @@ def _layer_forward(
     attn = _attention(q, k_cache, v_cache, positions, kv_valid, kv_positions, cfg.sliding_window)
     wo, wo_bias = _split_bias(lp.wo, axis_name)
     x = x + _reduce(_row_parallel(wo, attn.reshape(b, l, n_heads * cfg.head_dim)), wo_bias)
-    h = rms_norm(x, lp.mlp_norm, cfg.rms_eps)
+    h = rms_norm(x, lp.mlp_norm, cfg.rms_eps, cfg.norm_offset)
     if lp.w_gateup is not None:
         gu = lp.w_gateup(h)
         gate, up = jnp.split(gu, 2, axis=-1)
@@ -308,7 +348,7 @@ def _layer_forward(
         gate = lp.w_gate(h)
         up = lp.w_up(h)
     wd, wd_bias = _split_bias(lp.w_down, axis_name)
-    x = x + _reduce(_row_parallel(wd, jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up), wd_bias)
+    x = x + _reduce(_row_parallel(wd, _act(cfg, gate).astype(up.dtype) * up), wd_bias)
     return x, k_cache, v_cache
 
 
@@ -340,6 +380,10 @@ def forward(
     if positions is None:
         positions = cache.length[:, None] + jnp.arange(l, dtype=jnp.int32)[None, :]
     x = params.embed[tokens].astype(jnp.bfloat16)
+    if cfg.embed_scale:
+        # Gemma scales embeddings by sqrt(dim) ROUNDED to the activation
+        # dtype (HF multiplies by a bf16 normalizer tensor)
+        x = x * jnp.asarray(cfg.dim**0.5, jnp.bfloat16)
     kv_positions = jnp.arange(max_len, dtype=jnp.int32)
     new_len = cache.length + l  # (B,)
     kv_valid = kv_positions[None, :] < new_len[:, None]
@@ -351,7 +395,7 @@ def forward(
         )
         ks.append(kc)
         vs.append(vc)
-    x = rms_norm(x, params.final_norm, cfg.rms_eps)
+    x = rms_norm(x, params.final_norm, cfg.rms_eps, cfg.norm_offset)
     if last_index is not None:
         # lm_head on ONE dynamic position (bucketed-padded prefill: the real
         # last token sits at true_len-1, not at -1) — at 32k vocab computing
@@ -537,12 +581,12 @@ def random_weights(cfg: ModelConfig, seed: int = 0, scale: float = 0.02) -> dict
         p = f"model.layers.{i}."
         out[p + "input_layernorm.weight"] = np.ones(cfg.dim, np.float32)
         out[p + "post_attention_layernorm.weight"] = np.ones(cfg.dim, np.float32)
-        out[p + "self_attn.q_proj.weight"] = w(cfg.dim, cfg.dim)
+        out[p + "self_attn.q_proj.weight"] = w(cfg.q_dim, cfg.dim)
         out[p + "self_attn.k_proj.weight"] = w(kv_dim, cfg.dim)
         out[p + "self_attn.v_proj.weight"] = w(kv_dim, cfg.dim)
-        out[p + "self_attn.o_proj.weight"] = w(cfg.dim, cfg.dim)
+        out[p + "self_attn.o_proj.weight"] = w(cfg.dim, cfg.q_dim)
         if cfg.attn_bias:  # Qwen2-style q/k/v bias
-            out[p + "self_attn.q_proj.bias"] = w(cfg.dim)
+            out[p + "self_attn.q_proj.bias"] = w(cfg.q_dim)
             out[p + "self_attn.k_proj.bias"] = w(kv_dim)
             out[p + "self_attn.v_proj.bias"] = w(kv_dim)
         out[p + "mlp.gate_proj.weight"] = w(cfg.ffn_dim, cfg.dim)
@@ -563,12 +607,14 @@ def reference_forward(cfg: ModelConfig, weights: dict[str, np.ndarray], tokens: 
         return y if b is None else y + jnp.asarray(b, jnp.float32).astype(y.dtype)
 
     x = jnp.asarray(weights["model.embed_tokens.weight"], jnp.bfloat16)[tokens]
+    if cfg.embed_scale:
+        x = x * jnp.asarray(cfg.dim**0.5, jnp.bfloat16)
     positions = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32), (b, l))
     kv_positions = jnp.arange(l, dtype=jnp.int32)
     kv_valid = jnp.ones((b, l), bool)
     for i in range(cfg.n_layers):
         p = f"model.layers.{i}."
-        h = rms_norm(x, jnp.asarray(weights[p + "input_layernorm.weight"], jnp.bfloat16), cfg.rms_eps)
+        h = rms_norm(x, jnp.asarray(weights[p + "input_layernorm.weight"], jnp.bfloat16), cfg.rms_eps, cfg.norm_offset)
         q = lin(p + "self_attn.q_proj.weight", h).reshape(b, l, cfg.n_heads, cfg.head_dim)
         k = lin(p + "self_attn.k_proj.weight", h).reshape(b, l, cfg.n_kv_heads, cfg.head_dim)
         v = lin(p + "self_attn.v_proj.weight", h).reshape(b, l, cfg.n_kv_heads, cfg.head_dim)
@@ -576,9 +622,9 @@ def reference_forward(cfg: ModelConfig, weights: dict[str, np.ndarray], tokens: 
         k = rope(k, positions, cfg.rope_theta)
         attn = _attention(q, k, v, positions, kv_valid, kv_positions, cfg.sliding_window)
         x = x + lin(p + "self_attn.o_proj.weight", attn.reshape(b, l, cfg.dim))
-        h = rms_norm(x, jnp.asarray(weights[p + "post_attention_layernorm.weight"], jnp.bfloat16), cfg.rms_eps)
+        h = rms_norm(x, jnp.asarray(weights[p + "post_attention_layernorm.weight"], jnp.bfloat16), cfg.rms_eps, cfg.norm_offset)
         gate = lin(p + "mlp.gate_proj.weight", h)
         up = lin(p + "mlp.up_proj.weight", h)
-        x = x + lin(p + "mlp.down_proj.weight", jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up)
-    x = rms_norm(x, jnp.asarray(weights["model.norm.weight"], jnp.bfloat16), cfg.rms_eps)
+        x = x + lin(p + "mlp.down_proj.weight", _act(cfg, gate).astype(up.dtype) * up)
+    x = rms_norm(x, jnp.asarray(weights["model.norm.weight"], jnp.bfloat16), cfg.rms_eps, cfg.norm_offset)
     return (x.astype(jnp.float32) @ jnp.asarray(weights["lm_head.weight"], jnp.float32).T)

@@ -73,8 +73,10 @@ def validate_tp(cfg: T.ModelConfig, tp: int) -> None:
         and cfg.n_kv_heads % tp == 0
         and (kv_dim // tp) % 128 == 0
         and (cfg.dim // tp) % 128 == 0
+        and (cfg.q_dim // tp) % 128 == 0  # o_proj K when head_dim decoupled
         and (cfg.ffn_dim // tp) % 128 == 0
         and cfg.dim % (tp * 2 * cfg.blocksize) == 0
+        and cfg.q_dim % (tp * 2 * cfg.blocksize) == 0
         and cfg.ffn_dim % (tp * 2 * cfg.blocksize) == 0
         and cfg.vocab_size % tp == 0
     )
