@@ -60,6 +60,19 @@ def config_from_hf(model_dir: str, **overrides) -> ModelConfig:
     if hf.get("model_type", "").startswith("gemma"):
         kw["norm_offset"] = True
         kw["embed_scale"] = True
+    rs = hf.get("rope_scaling")
+    if rs:
+        rt = rs.get("rope_type", rs.get("type"))
+        if rt == "llama3":  # Llama-3.1+ long-context remap
+            kw["rope_scaling"] = (
+                float(rs["factor"]), float(rs["low_freq_factor"]),
+                float(rs["high_freq_factor"]),
+                float(rs["original_max_position_embeddings"]),
+            )
+        elif rt not in (None, "default"):
+            # serving with silently-wrong positions is worse than failing
+            raise ValueError(f"unsupported rope_scaling type {rt!r} "
+                             "(supported: llama3)")
     kw.update(overrides)
     return ModelConfig(**kw)
 

@@ -67,6 +67,10 @@ class ModelConfig:
     hidden_act: str = "silu"
     norm_offset: bool = False
     embed_scale: bool = False
+    # Llama-3.1+ long-context RoPE remap (HF rope_scaling rope_type
+    # "llama3"): (factor, low_freq_factor, high_freq_factor,
+    # original_max_position_embeddings); None = plain RoPE
+    rope_scaling: tuple[float, float, float, float] | None = None
 
     def __post_init__(self):
         if self.head_dim is None:
@@ -209,10 +213,25 @@ def _act(cfg: "ModelConfig", gate: jax.Array) -> jax.Array:
     return jax.nn.silu(g)
 
 
-def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
-    """Rotary embedding.  x: (B, L, H, D), positions: (B, L) or (L,)."""
+def rope(x: jax.Array, positions: jax.Array, theta: float,
+         scaling: tuple[float, float, float, float] | None = None) -> jax.Array:
+    """Rotary embedding.  x: (B, L, H, D), positions: (B, L) or (L,).
+
+    ``scaling`` = (factor, low_freq_factor, high_freq_factor,
+    original_max_position_embeddings) applies the Llama-3.1 long-context
+    frequency remap (HF ``rope_type: "llama3"``): wavelengths above
+    orig/low stretch by 1/factor, those below orig/high keep, the band in
+    between interpolates smoothly.  Static values: XLA constant-folds the
+    remapped table, so scaled RoPE costs nothing at run time.
+    """
     d = x.shape[-1]
     freqs = theta ** (-jnp.arange(0, d // 2, dtype=jnp.float32) / (d // 2))
+    if scaling is not None:
+        factor, lo_f, hi_f, orig = scaling
+        wavelen = 2.0 * jnp.pi / freqs
+        smooth = (orig / wavelen - lo_f) / (hi_f - lo_f)
+        smooth = jnp.clip(smooth, 0.0, 1.0)  # 0 -> /factor band, 1 -> keep band
+        freqs = (1.0 - smooth) * freqs / factor + smooth * freqs
     angles = positions.astype(jnp.float32)[..., None] * freqs  # (B, L, D/2)
     cos = jnp.cos(angles)[..., None, :]  # (B, L, 1, D/2)
     sin = jnp.sin(angles)[..., None, :]
@@ -331,8 +350,8 @@ def _layer_forward(
         q = lp.wq(h).reshape(b, l, n_heads, cfg.head_dim)
         k = lp.wk(h).reshape(b, l, n_kv, cfg.head_dim)
         v = lp.wv(h).reshape(b, l, n_kv, cfg.head_dim)
-    q = rope(q, positions, cfg.rope_theta)
-    k = rope(k, positions, cfg.rope_theta)
+    q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
+    k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
     # per-sequence write offsets: vmapped dynamic-update-slice over the batch
     upd = jax.vmap(lambda c, u, s: jax.lax.dynamic_update_slice_in_dim(c, u, s, axis=0))
     k_cache = upd(k_cache, k.astype(k_cache.dtype), cache_len)
@@ -618,8 +637,8 @@ def reference_forward(cfg: ModelConfig, weights: dict[str, np.ndarray], tokens: 
         q = lin(p + "self_attn.q_proj.weight", h).reshape(b, l, cfg.n_heads, cfg.head_dim)
         k = lin(p + "self_attn.k_proj.weight", h).reshape(b, l, cfg.n_kv_heads, cfg.head_dim)
         v = lin(p + "self_attn.v_proj.weight", h).reshape(b, l, cfg.n_kv_heads, cfg.head_dim)
-        q = rope(q, positions, cfg.rope_theta)
-        k = rope(k, positions, cfg.rope_theta)
+        q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
+        k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
         attn = _attention(q, k, v, positions, kv_valid, kv_positions, cfg.sliding_window)
         x = x + lin(p + "self_attn.o_proj.weight", attn.reshape(b, l, cfg.dim))
         h = rms_norm(x, jnp.asarray(weights[p + "post_attention_layernorm.weight"], jnp.bfloat16), cfg.rms_eps, cfg.norm_offset)
