@@ -57,6 +57,11 @@ FAMILIES = {
         _small(head_dim=64, tie_word_embeddings=True,
                hidden_activation="gelu_pytorch_tanh"),
     ),
+    "phi3": (
+        transformers.Phi3Config, transformers.Phi3ForCausalLM,
+        # fused qkv_proj / gate_up_proj checkpoints (split at convert time)
+        _small(pad_token_id=0),  # default 32000 exceeds the tiny vocab
+    ),
     "llama31_rope": (
         transformers.LlamaConfig, transformers.LlamaForCausalLM,
         # Llama-3.1 long-context RoPE remap; orig ctx 8 < prompt positions so

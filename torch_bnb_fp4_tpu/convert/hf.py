@@ -104,6 +104,34 @@ def _to_f32(a: np.ndarray) -> np.ndarray:
         return np.asarray(a, dtype=np.float32)
 
 
+def _split_fused_layer(cfg: ModelConfig, t: dict, p: str) -> None:
+    """Split Phi-3-style fused projections into the canonical per-tensor
+    names, in place: ``self_attn.qkv_proj`` rows are [q | k | v] and
+    ``mlp.gate_up_proj`` rows are [gate | up] (HF Phi3Attention/Phi3MLP).
+    The runtime re-fuses at load (models/linear.fuse_linears); the split
+    exists so checkpoints shard per-projection for TP like every other
+    family."""
+    kv_dim = cfg.n_kv_heads * cfg.head_dim
+    for stem, cuts in (
+        (p + "self_attn.qkv_proj",
+         (("self_attn.q_proj", 0, cfg.q_dim),
+          ("self_attn.k_proj", cfg.q_dim, cfg.q_dim + kv_dim),
+          ("self_attn.v_proj", cfg.q_dim + kv_dim, cfg.q_dim + 2 * kv_dim))),
+        (p + "mlp.gate_up_proj",
+         (("mlp.gate_proj", 0, cfg.ffn_dim),
+          ("mlp.up_proj", cfg.ffn_dim, 2 * cfg.ffn_dim))),
+    ):
+        for kind in (".weight", ".bias"):
+            fused = t.pop(stem + kind, None)
+            if fused is None:
+                continue
+            if fused.shape[0] != cuts[-1][2]:
+                raise ValueError(f"{stem}{kind} rows {fused.shape[0]} != "
+                                 f"expected {cuts[-1][2]}")
+            for name, lo, hi in cuts:
+                t[p + name + kind] = fused[lo:hi]
+
+
 def quantize_hf_weights(
     cfg: ModelConfig,
     tensors: dict[str, np.ndarray],
@@ -150,6 +178,7 @@ def quantize_hf_weights(
     layers = []
     for i in range(cfg.n_layers):
         p = f"model.layers.{i}."
+        _split_fused_layer(cfg, tensors, p)  # Phi-3 qkv_proj/gate_up_proj
         layers.append(LayerParams(
             attn_norm=norm(p + "input_layernorm.weight"),
             wq=ql(p + "self_attn.q_proj"),
@@ -300,6 +329,7 @@ def convert_hf_model(
 
     def flush_layer(i: int, t: dict[str, np.ndarray]) -> None:
         p = f"model.layers.{i}."
+        _split_fused_layer(cfg, t, p)  # Phi-3 qkv_proj/gate_up_proj
         arrays = {
             f"layers.{i}.attn_norm": _np_bf16(t[p + "input_layernorm.weight"]),
             f"layers.{i}.mlp_norm": _np_bf16(t[p + "post_attention_layernorm.weight"]),

@@ -121,6 +121,15 @@ class ModelConfig:
         )
 
     @classmethod
+    def phi3_mini(cls) -> "ModelConfig":
+        # Phi-3-mini-4k: HF checkpoints fuse qkv_proj/gate_up_proj; the
+        # converter splits them (convert/hf.py:_split_fused_layer)
+        return cls(
+            vocab_size=32064, dim=3072, n_layers=32, n_heads=32, n_kv_heads=32,
+            ffn_dim=8192, rope_theta=10000.0,
+        )
+
+    @classmethod
     def gemma_7b(cls) -> "ModelConfig":
         # Gemma-7B: decoupled head_dim (16 heads x 256 > dim 3072), GeGLU,
         # (1+w) norms, sqrt(dim)-scaled embeddings, tied lm_head
