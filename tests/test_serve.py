@@ -76,6 +76,55 @@ def test_stop_ids_stop_early(params):
     assert res[8].tokens == expected
 
 
+def test_logprobs(params):
+    """EngineConfig(logprobs=True): every completion carries one log-softmax
+    value per token, matching an eager step-by-step recomputation."""
+    import jax
+
+    eng = Engine(params, CFG, EngineConfig(max_batch=2, max_len=32,
+                                           inner_steps=2, logprobs=True))
+    reqs = [
+        Request(uid=1, prompt=[1, 2, 3], max_new_tokens=5),
+        Request(uid=2, prompt=[4, 5], max_new_tokens=4),
+    ]
+    res = eng.run(reqs)
+    for r in reqs:
+        # eager oracle: greedy loop computing log_softmax at each chosen token
+        cache = T.KVCache.zeros(CFG, 1, 32)
+        logits, cache = T.forward(params, CFG, jnp.asarray([r.prompt], jnp.int32), cache)
+        cur = logits[:, -1]
+        want_toks, want_lps = [], []
+        for _ in range(r.max_new_tokens):
+            t = int(jnp.argmax(cur, -1)[0])
+            want_toks.append(t)
+            want_lps.append(float(jax.nn.log_softmax(cur.astype(jnp.float32), -1)[0, t]))
+            logits, cache = T.forward(params, CFG, jnp.asarray([[t]], jnp.int32), cache)
+            cur = logits[:, -1]
+        c = res[r.uid]
+        assert c.tokens == want_toks, r.uid
+        assert c.logprobs is not None and len(c.logprobs) == len(c.tokens)
+        np.testing.assert_allclose(c.logprobs, want_lps, atol=0.03, rtol=0.02)
+    # disabled engines carry None
+    eng2 = Engine(params, CFG, EngineConfig(max_batch=1, max_len=32))
+    res2 = eng2.run([Request(uid=9, prompt=[1, 2], max_new_tokens=2)])
+    assert res2[9].logprobs is None
+    with pytest.raises(ValueError, match="logprobs"):
+        Engine(params, CFG, EngineConfig(max_batch=1, max_len=32,
+                                         spec_tokens=2, logprobs=True))
+
+
+def test_logprobs_chunked_prefill(params):
+    """logprobs through the chunked-admission path (first token comes from
+    the final chunk program)."""
+    prompt = list(range(1, 40))
+    eng = Engine(params, CFG, EngineConfig(max_batch=1, max_len=64,
+                                           prefill_chunk=32, logprobs=True))
+    res = eng.run([Request(uid=1, prompt=prompt, max_new_tokens=3)])
+    c = res[1]
+    assert c.tokens == _oracle(params, prompt, 3)
+    assert len(c.logprobs) == 3 and all(lp <= 0.0 for lp in c.logprobs)
+
+
 def test_abort(params):
     """abort() cancels queued and active requests; unaffected requests stay
     oracle-exact; unknown uids return False."""

@@ -31,6 +31,8 @@ def main() -> None:
     ap.add_argument("--prefill-chunk", type=int, default=0)
     ap.add_argument("--spec-tokens", type=int, default=0)
     ap.add_argument("--prefix-cache", action="store_true")
+    ap.add_argument("--logprobs", action="store_true",
+                    help="emit per-token logprobs on every completion")
     ap.add_argument("--kv-dtype", default="bfloat16",
                     choices=["bfloat16", "float8_e4m3fn"])
     ap.add_argument("--tokenizer", default=None, metavar="DIR",
@@ -62,7 +64,7 @@ def main() -> None:
         inner_steps=args.inner_steps, temperature=args.temperature,
         top_p=args.top_p, top_k=args.top_k, prefill_chunk=args.prefill_chunk,
         spec_tokens=args.spec_tokens, prefix_cache=args.prefix_cache,
-        kv_dtype=args.kv_dtype,
+        kv_dtype=args.kv_dtype, logprobs=args.logprobs,
     ))
     if args.warmup_prompt_len:
         logging.info("warming up (prompts to %d)...", args.warmup_prompt_len)

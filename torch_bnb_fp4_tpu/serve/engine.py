@@ -64,6 +64,8 @@ class Completion:
     # serving latency metrics (host wall clock; SURVEY.md §5 observability)
     ttft_s: float = 0.0  # submit -> first token (queue wait + prefill)
     total_s: float = 0.0  # submit -> completion
+    # per-token log_softmax of the raw logits (EngineConfig.logprobs only)
+    logprobs: list[float] | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -137,6 +139,12 @@ class EngineConfig:
     # 32-token (or prefill_chunk) boundary so suffix programs reuse the
     # existing chunk traces.
     prefix_cache: bool = False
+    # per-token logprobs (off by default): every program additionally emits
+    # log_softmax of the RAW logits at each chosen token (f32; before
+    # temperature/top-p filtering — the model's own distribution).
+    # Completion.logprobs aligns 1:1 with Completion.tokens.  Incompatible
+    # with spec_tokens (the verify forward discards per-position logits).
+    logprobs: bool = False
 
 
 def prompt_lookup_draft(hist: jax.Array, hlen: jax.Array, *, k: int, n: int) -> jax.Array:
@@ -221,6 +229,7 @@ class Engine:
         # host-side slot state
         self.slot_req: list[Request | None] = [None] * b
         self.slot_tokens: list[list[int]] = [[] for _ in range(b)]
+        self.slot_lps: list[list[float]] = [[] for _ in range(b)]
         self.slot_t0: list[float] = [0.0] * b  # first-token wall time per slot
         self._submit_t: dict[int, float] = {}
         self.slot_cur = np.zeros(b, np.int64)  # current token per slot
@@ -250,6 +259,9 @@ class Engine:
                     "greedy verification is token-exact; rejection-sampling "
                     "speculation is not implemented"
                 )
+            if ecfg.logprobs:
+                raise ValueError("logprobs is not supported with spec_tokens "
+                                 "(the verify forward discards per-position logits)")
             if ecfg.spec_ngram < 1:
                 raise ValueError(f"spec_ngram must be >= 1, got {ecfg.spec_ngram}")
             if ecfg.max_len <= ecfg.spec_ngram:
@@ -334,6 +346,11 @@ class Engine:
         # temperature 0 rows (request override on a sampling engine) = greedy
         return jnp.where(t > 0.0, sampled, jnp.argmax(logits, axis=-1).astype(jnp.int32))
 
+    def _lp_of(self, logits, tok):
+        """log-softmax of the raw (B, V) logits at the chosen tokens (f32)."""
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return jnp.take_along_axis(lp, tok[:, None].astype(jnp.int32), axis=-1)[:, 0]
+
     def _decode_fn(self, params, tokens, cache, active, key, temp, top_p, *, n):
         """``n`` batched decode steps in ONE program (inner lax.scan): n
         tokens per slot per host round-trip.  ``active`` (B',) bool: inactive
@@ -357,16 +374,18 @@ class Engine:
             tok, sub = carry
             logits, sub = self._fwd(params, tok[:, None], sub)
             nxt = self._select(logits[:, -1], k, temp, top_p)
-            return (nxt, sub), nxt
+            y = (nxt, self._lp_of(logits[:, -1], nxt)) if self.ecfg.logprobs else nxt
+            return (nxt, sub), y
 
-        (_, sub), toks = jax.lax.scan(body, (tokens, sub), jax.random.split(key, n))
+        (_, sub), ys = jax.lax.scan(body, (tokens, sub), jax.random.split(key, n))
+        toks, lps = ys if self.ecfg.logprobs else (ys, None)
         zero4 = (0, 0, 0, 0)
         cache = T.KVCache(
             k=[jax.lax.dynamic_update_slice(f, s, zero4) for f, s in zip(cache.k, sub.k)],
             v=[jax.lax.dynamic_update_slice(f, s, zero4) for f, s in zip(cache.v, sub.v)],
             length=jax.lax.dynamic_update_slice(cache.length, sub.length, (0,)),
         )
-        return toks.T, cache
+        return (toks.T, None if lps is None else lps.T), cache
 
     def _spec_fn(self, params, tokens, cache, active, hist, hlen, *, s):
         """``s`` speculative decode steps in ONE program.  Per step, per slot:
@@ -437,7 +456,8 @@ class Engine:
             vs.append(jax.lax.dynamic_update_slice(cache.v[i], small.v[i], (slot, 0, 0, 0)))
         length = cache.length.at[slot].set(true_len)
         first = self._select(logits[:, -1], key, temp, top_p)[0]
-        return first, T.KVCache(k=ks, v=vs, length=length)
+        lp0 = self._lp_of(logits[:, -1], first[None])[0] if self.ecfg.logprobs else None
+        return (first, lp0), T.KVCache(k=ks, v=vs, length=length)
 
     def _chunk_fn(self, params, tokens, small, last_index, key, temp, top_p):
         """One prefill CHUNK on a private batch-1 cache: forward writes this
@@ -447,7 +467,8 @@ class Engine:
         self.traces["prefill"] += 1
         logits, small = self._fwd_prefill(params, tokens, small, last_index)
         first = self._select(logits[:, -1], key, temp, top_p)[0]
-        return first, small
+        lp0 = self._lp_of(logits[:, -1], first[None])[0] if self.ecfg.logprobs else None
+        return (first, lp0), small
 
     def _splice_fn(self, cache, small, slot, true_len):
         """Copy a completed chunked prefill's KV rows into ``slot`` of the
@@ -537,10 +558,11 @@ class Engine:
                 return
             dst = free[0]
             self.cache = self._move(self.cache, jnp.int32(hi), jnp.int32(dst))
-            for attr in ("slot_req", "slot_tokens", "slot_t0"):
+            for attr in ("slot_req", "slot_tokens", "slot_t0", "slot_lps"):
                 getattr(self, attr)[dst] = getattr(self, attr)[hi]
             self.slot_req[hi] = None
             self.slot_tokens[hi] = []
+            self.slot_lps[hi] = []
             self.slot_cur[dst] = self.slot_cur[hi]
             self.slot_temp[dst] = self.slot_temp[hi]
             self.slot_tp[dst] = self.slot_tp[hi]
@@ -596,7 +618,7 @@ class Engine:
         toks[0, : len(real)] = real
         li = min(lp, hi) - 1 - lo  # chunk-local true-last position (final chunk)
         st, sp = self._resolve_sampling(req, pf["slot"])
-        first, pf["small"] = self._chunk(
+        (first, lp0), pf["small"] = self._chunk(
             self.params, jnp.asarray(toks), pf["small"], jnp.int32(li), self._next_key(),
             st, sp,
         )
@@ -608,6 +630,9 @@ class Engine:
         first = int(self._host_fetch(first))
         self.slot_req[slot] = req
         self.slot_tokens[slot] = [first]
+        self.slot_lps[slot] = (
+            [float(self._host_fetch(lp0))] if self.ecfg.logprobs else []
+        )
         self.slot_cur[slot] = first
         self.slot_t0[slot] = time.perf_counter()
         if self.on_token is not None:
@@ -794,7 +819,7 @@ class Engine:
                     real = req.prompt[lo:hi]
                     toks[0, : len(real)] = real
                     li = min(lp, hi) - 1 - lo
-                    first, small = self._chunk(
+                    (first, lp0), small = self._chunk(
                         self.params, jnp.asarray(toks), small, jnp.int32(li),
                         self._next_key(), st, sp,
                     )
@@ -809,13 +834,16 @@ class Engine:
             else:
                 padded = np.zeros((1, lp_pad), np.int32)
                 padded[0, :lp] = req.prompt
-                first, self.cache = self._prefill(
+                (first, lp0), self.cache = self._prefill(
                     self.params, jnp.asarray(padded), self.cache,
                     jnp.int32(slot), jnp.int32(lp), self._next_key(), st, sp,
                 )
             first = int(self._host_fetch(first))
             self.slot_req[slot] = req
             self.slot_tokens[slot] = [first]
+            self.slot_lps[slot] = (
+                [float(self._host_fetch(lp0))] if self.ecfg.logprobs else []
+            )
             self.slot_cur[slot] = first
             self.slot_t0[slot] = time.perf_counter()
             if self.on_token is not None:
@@ -830,10 +858,12 @@ class Engine:
         self.completions.append(
             Completion(uid=req.uid, tokens=self.slot_tokens[slot],
                        prompt_len=len(req.prompt), finish_reason=reason,
-                       ttft_s=self.slot_t0[slot] - t_sub, total_s=now - t_sub)
+                       ttft_s=self.slot_t0[slot] - t_sub, total_s=now - t_sub,
+                       logprobs=self.slot_lps[slot] if self.ecfg.logprobs else None)
         )
         self.slot_req[slot] = None
         self.slot_tokens[slot] = []
+        self.slot_lps[slot] = []
 
     def step(self) -> int:
         """One engine tick: admit pending requests, run one batched decode
@@ -890,6 +920,7 @@ class Engine:
         mask = np.zeros(bp, bool)
         mask[active] = True
 
+        lps = None  # per-token logprobs from the plain decode path only
         k = self.ecfg.spec_tokens
         if k and cap >= k + 1:
             # speculative path: s verify forwards per tick, each emitting
@@ -922,19 +953,23 @@ class Engine:
             )
             self._steps += s
         else:
-            toks, self.cache = self._decode(
+            (toks, lps), self.cache = self._decode(
                 self.params, tokens, self.cache, jnp.asarray(mask), self._next_key(),
                 jnp.asarray(self.slot_temp[:bp]), jnp.asarray(self.slot_tp[:bp]), n=n,
             )
             toks = self._host_fetch(toks)  # device sync: tick latency includes it
+            if lps is not None:
+                lps = self._host_fetch(lps)
             per_slot = {i: [int(t) for t in toks[i]] for i in active}
             self.step_times.append((time.perf_counter() - t_tick) / n)
             self._steps += n
 
         for i in active:
             req = self.slot_req[i]
-            for t in per_slot[i]:
+            for j, t in enumerate(per_slot[i]):
                 self.slot_tokens[i].append(t)
+                if self.ecfg.logprobs and lps is not None:
+                    self.slot_lps[i].append(float(lps[i][j]))
                 self._tokens_out += 1
                 if self.on_token is not None:
                     self.on_token(req.uid, t)

@@ -295,6 +295,8 @@ class EngineServer:
             "ttft_s": round(c.ttft_s, 6),
             "total_s": round(c.total_s, 6),
         }
+        if c.logprobs is not None:
+            out["logprobs"] = [round(v, 6) for v in c.logprobs]
         if self.tokenizer is not None:
             out["text"] = self.tokenizer.decode(c.tokens)
         return out
