@@ -67,6 +67,19 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
 
 
+def test_checkpoint_config_stays_hashable(tmp_path):
+    """rope_scaling survives the JSON manifest round-trip as a TUPLE: the
+    loaded config must remain hashable (jit static arg) and equal."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, rope_scaling=(8.0, 1.0, 4.0, 8192.0))
+    params = quantize_params(cfg, T.random_weights(cfg, seed=2))
+    save_checkpoint(str(tmp_path / "ck"), cfg, params)
+    cfg2, _ = load_checkpoint(str(tmp_path / "ck"))
+    assert cfg2 == cfg
+    hash(cfg2)  # would raise on a list-valued field
+
+
 def test_checkpoint_load_with_tp_repack(tmp_path):
     """One stored checkpoint serves any tp: loading with tp=4 must equal
     quantizing for tp=4 directly.  (pairk needs no repacking; the splitk

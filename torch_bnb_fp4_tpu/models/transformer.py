@@ -75,6 +75,10 @@ class ModelConfig:
     def __post_init__(self):
         if self.head_dim is None:
             object.__setattr__(self, "head_dim", self.dim // self.n_heads)
+        if self.rope_scaling is not None:
+            # checkpoint manifests round-trip through JSON (list); the config
+            # must stay hashable for jit static args
+            object.__setattr__(self, "rope_scaling", tuple(self.rope_scaling))
 
     @property
     def q_dim(self) -> int:
