@@ -51,3 +51,17 @@ def test_nf4_error_band_comparable_to_fp4():
         wq = np.asarray(dequantize_weight(q, out_dtype=jnp.float32, interpret=True))
         errs[qt] = np.abs(wq - w).mean()
     assert errs["nf4"] < errs["fp4"] * 1.2, errs
+
+
+def test_nf4_fused_forward():
+    """fuse_linears must thread the codebook through (regression: a fused
+    lut QuantLinear with codebook=None raised at first forward)."""
+    weights = T.random_weights(CFG, seed=22)
+    params = quantize_params(CFG, weights, fuse=True)
+    assert params.layers[0].wqkv is not None
+    assert params.layers[0].wqkv.codebook is not None
+    tokens = jnp.asarray([[3, 1, 4]], jnp.int32)
+    plain = quantize_params(CFG, weights)
+    want, _ = forward(plain, CFG, tokens, KVCache.zeros(CFG, 1, 3))
+    got, _ = forward(params, CFG, tokens, KVCache.zeros(CFG, 1, 3))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-2, rtol=5e-2)

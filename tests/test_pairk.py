@@ -406,3 +406,24 @@ def test_w4a8_rejected_for_f32_and_lut(rng):
     with pytest.raises(ValueError, match="FP4-family"):
         K.matmul_fp4_pk(xb, jnp.asarray(pl_), jnp.asarray(sl_), None, jnp.asarray(fmt.NF4_CODE),
                         variant="lut", a8=True, interpret=True)
+
+
+def test_m_outer_window_k768(rng):
+    """K=768 regression: _k_block_stripe used to pick block_k=384 (sblk=6),
+    whose scale rows straddle the 8-row window at kk=1 — silently wrong
+    scales.  The chooser must now keep the window contract and decode
+    golden-exact."""
+    from torch_bnb_fp4_tpu.ops.kernels import _k_block_stripe
+
+    bk = _k_block_stripe(768, 512, 64)
+    assert bk != 384 and (768 % bk == 0)
+    sblk = bk // 64
+    assert bk == 768 or 8 % sblk == 0 or sblk % 8 == 0
+    w = (rng.standard_normal((128, 768)) * 0.05).astype(np.float32)
+    packed, scale = fmt.pack_tpu_pairk(w, variant="exact")
+    x = jnp.asarray(rng.standard_normal((8, 768)), jnp.float32)
+    # m-outer path: block_m >= m so the grid has one M block
+    out = K.matmul_fp4_pk(x, jnp.asarray(packed), jnp.asarray(scale),
+                          variant="exact", interpret=True, block_m=8)
+    golden = np.asarray(x, np.float32) @ fmt.unpack_tpu_pairk(packed, scale)
+    np.testing.assert_allclose(np.asarray(out), golden, rtol=2e-2, atol=2e-2)

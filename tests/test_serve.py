@@ -195,6 +195,25 @@ def test_per_request_sampling_overrides(params):
     assert res2[2].tokens == res[2].tokens
 
 
+def test_invalid_sampling_rejected(params):
+    """Malformed or unusable sampling parameters fail at submit() with a
+    clear ValueError instead of crashing a later engine tick (a dead engine
+    thread would hang every HTTP client)."""
+    eng_g = Engine(params, CFG, EngineConfig(max_batch=1, max_len=32))
+    with pytest.raises(ValueError, match="greedy"):
+        eng_g.submit(Request(uid=1, prompt=[1], temperature=0.7))
+    with pytest.raises(ValueError, match="nucleus"):
+        eng_g.submit(Request(uid=2, prompt=[1], top_p=0.5))
+    eng_s = Engine(params, CFG, EngineConfig(max_batch=1, max_len=32,
+                                             temperature=1.0, top_p=0.9))
+    with pytest.raises(ValueError, match="temperature"):
+        eng_s.submit(Request(uid=3, prompt=[1], temperature="hot"))
+    with pytest.raises(ValueError, match="top_p"):
+        eng_s.submit(Request(uid=4, prompt=[1], top_p=0.0))
+    with pytest.raises(ValueError, match="top_p"):
+        Engine(params, CFG, EngineConfig(max_batch=1, max_len=32, top_p=0.0))
+
+
 def test_prompt_too_long_rejected(params):
     eng = Engine(params, CFG, EngineConfig(max_batch=1, max_len=8))
     with pytest.raises(ValueError):

@@ -165,6 +165,22 @@ def test_stop_ids_over_http(server, params):
         _post(server, {"prompt": prompt, "stop_ids": "x"})
 
 
+def test_bad_sampling_params_do_not_kill_server(server, params):
+    """Malformed/unusable sampling params return 400 and the engine thread
+    survives: the follow-up request still completes oracle-exact."""
+    for bad in (
+        {"prompt": [1, 2], "temperature": "hot"},
+        {"prompt": [1, 2], "temperature": 0.9},  # greedy-compiled engine
+        {"prompt": [1, 2], "top_p": 0.0},
+    ):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(server, bad)
+        assert ei.value.code == 400
+    prompt = [7, 7, 2]
+    got = _post(server, {"prompt": prompt, "max_tokens": 4})
+    assert got["tokens"] == _oracle(params, prompt, 4)
+
+
 def test_abort_over_http(server):
     """A streaming client reads its uid from the first event and aborts its
     own request; the stream ends with finish_reason 'abort'."""

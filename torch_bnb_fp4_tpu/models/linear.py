@@ -369,6 +369,7 @@ def fuse_linears(linears: list[QuantLinear], tp: int = 1) -> QuantLinear:
         layout="pairk",
         k_shards=1,
         variant=q0.variant,
+        codebook=q0.codebook,  # lut decode needs it (asserted shared above)
     )
 
 

@@ -653,7 +653,7 @@ def reference_forward(cfg: ModelConfig, weights: dict[str, np.ndarray], tokens: 
         q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
         k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
         attn = _attention(q, k, v, positions, kv_valid, kv_positions, cfg.sliding_window)
-        x = x + lin(p + "self_attn.o_proj.weight", attn.reshape(b, l, cfg.dim))
+        x = x + lin(p + "self_attn.o_proj.weight", attn.reshape(b, l, cfg.q_dim))
         h = rms_norm(x, jnp.asarray(weights[p + "post_attention_layernorm.weight"], jnp.bfloat16), cfg.rms_eps, cfg.norm_offset)
         gate = lin(p + "mlp.gate_proj.weight", h)
         up = lin(p + "mlp.up_proj.weight", h)

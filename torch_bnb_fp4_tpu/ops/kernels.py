@@ -486,14 +486,24 @@ def _k_block_pairk(k: int, requested: int, blocksize: int, s_quantum: int = 8) -
 
 
 def _k_block_stripe(k: int, requested: int, blocksize: int) -> int:
-    """K block for the m-outer kernel, whose scale rides as a FULL-K stripe
-    (BlockSpec (K/bs, BN) indexed (0, j)) so the 8-sublane scale-tile quantum
-    does not bind block_k.  Remaining constraints: x/packed lane+sublane
-    tiling (block_k >= 128, packed rows block_k/2 % 32 == 0) and whole quant
-    blocks (block_k % blocksize == 0) -> quantum max(128, blocksize)."""
+    """K block for the m-outer kernel, whose scale arrives in 8-row-aligned
+    windows so the 8-sublane scale-tile quantum does not bind block_k.
+    Constraints: x/packed lane+sublane tiling (block_k >= 128, packed rows
+    block_k/2 % 32 == 0), whole quant blocks (block_k % blocksize == 0) ->
+    quantum max(128, blocksize); AND the window contract: a step's scale
+    rows must sit inside ONE window, i.e. sblk = block_k/blocksize must
+    divide the 8-row window height or be a multiple of it (otherwise step
+    kk=1 of e.g. K=768/bk=384 needs rows 6..11, which straddle windows —
+    the in-kernel where-chain would select wrong scales)."""
     q = max(128, blocksize)
     if k % q == 0:
-        return _choose_block(k, requested, q)
+        for s in range(min(requested, k) // q, 0, -1):
+            bk = s * q
+            if (k // q) % s:
+                continue
+            sblk = bk // blocksize
+            if bk == k or 8 % sblk == 0 or sblk % 8 == 0:
+                return bk
     assert k % (2 * blocksize) == 0 and (k // 2) % 32 == 0, (k, blocksize)
     return k
 

@@ -238,6 +238,7 @@ class Engine:
         self.slot_tp = np.full(b, ecfg.top_p, np.float32)
         self.pending: deque[Request] = deque()
         self.completions: list[Completion] = []
+        self._completed = 0  # cumulative (completions may be trimmed by a server)
         self._steps = 0
         self._tokens_out = 0
         self._t0 = time.perf_counter()
@@ -245,11 +246,17 @@ class Engine:
         # any synchronous admission prefills, divided by the inner-scan depth)
         # — the jitter-under-admission-load metric: a long prompt admitted
         # mid-stream shows up as a p99 spike here
-        self.step_times: list[float] = []
+        # bounded: a long-lived server must not grow host state per tick
+        # (percentiles over the trailing window are what an operator wants)
+        self.step_times: deque[float] = deque(maxlen=4096)
         # traces[kind] += 1 every time a program is (re)traced; warmup() +
         # tests assert no mid-serving compile after warmup
         self.traces = {"decode": 0, "prefill": 0, "fork": 0}
 
+        if not (0.0 < ecfg.top_p <= 1.0):
+            raise ValueError(f"top_p must be in (0, 1], got {ecfg.top_p}")
+        if ecfg.temperature < 0.0 or ecfg.top_k < 0:
+            raise ValueError("temperature/top_k must be >= 0")
         if ecfg.prefill_chunk and ecfg.prefill_chunk % 32:
             raise ValueError(f"prefill_chunk must be a multiple of 32, got {ecfg.prefill_chunk}")
         if ecfg.spec_tokens:
@@ -644,10 +651,30 @@ class Engine:
     # -- host API ----------------------------------------------------------
 
     def submit(self, req: Request) -> None:
+        import math
+
         if not req.prompt:
             raise ValueError("empty prompt (need at least one token to prefill)")
         if len(req.prompt) >= self.ecfg.max_len:
             raise ValueError(f"prompt len {len(req.prompt)} >= max_len {self.ecfg.max_len}")
+        t = req.temperature
+        if t is not None:
+            if not isinstance(t, (int, float)) or isinstance(t, bool) or not math.isfinite(t) or t < 0:
+                raise ValueError(f"temperature must be a finite number >= 0, got {t!r}")
+            if t > 0 and self.ecfg.temperature <= 0:
+                raise ValueError(
+                    "engine is compiled greedy (EngineConfig.temperature == 0); a "
+                    "per-request temperature cannot enable sampling — start the "
+                    "engine/server with temperature > 0")
+        tp = req.top_p
+        if tp is not None:
+            if not isinstance(tp, (int, float)) or isinstance(tp, bool) or not (0.0 < tp <= 1.0):
+                raise ValueError(f"top_p must be in (0, 1], got {tp!r}")
+            if tp < 1.0 and self.ecfg.top_p >= 1.0:
+                raise ValueError(
+                    "engine compiled without a nucleus path (EngineConfig.top_p == "
+                    "1.0); a per-request top_p cannot enable it — start the "
+                    "engine/server with top_p < 1")
         self._submit_t[req.uid] = time.perf_counter()
         self.pending.append(req)
 
@@ -665,6 +692,7 @@ class Engine:
             if r.uid == uid:
                 del self.pending[i]
                 t = self._submit_t.pop(uid, time.perf_counter())
+                self._completed += 1
                 self.completions.append(Completion(
                     uid=uid, tokens=[], prompt_len=len(r.prompt),
                     finish_reason="abort", ttft_s=0.0,
@@ -674,6 +702,7 @@ class Engine:
             r = self._pf["req"]
             self._pf = None  # its small cache is dropped; slot was never bound
             t = self._submit_t.pop(uid, time.perf_counter())
+            self._completed += 1
             self.completions.append(Completion(
                 uid=uid, tokens=[], prompt_len=len(r.prompt),
                 finish_reason="abort", ttft_s=0.0,
@@ -788,6 +817,10 @@ class Engine:
                     s *= 2
         jax.block_until_ready(toks)
         log.info("warmup: %d prefill buckets, %d decode programs", len(buckets), self.traces["decode"])
+        # throughput metrics start when SERVING starts: minutes of XLA
+        # compiles must not deflate stats()['tok_per_s']
+        self.step_times.clear()
+        self._t0 = time.perf_counter()
         return dict(self.traces)
 
     def _admit(self) -> None:
@@ -855,6 +888,7 @@ class Engine:
         req = self.slot_req[slot]
         now = time.perf_counter()
         t_sub = self._submit_t.pop(req.uid, now)
+        self._completed += 1
         self.completions.append(
             Completion(uid=req.uid, tokens=self.slot_tokens[slot],
                        prompt_len=len(req.prompt), finish_reason=reason,
@@ -993,7 +1027,7 @@ class Engine:
             # admission (or compile) stalls are starving decoding slots
             step_p50_s=float(np.percentile(st, 50)),
             step_p99_s=float(np.percentile(st, 99)),
-            completions=len(done),
+            completions=self._completed,  # cumulative; `done` may be a trailing window
             decode_steps=self._steps,
             tokens_out=self._tokens_out,
             tok_per_s=self._tokens_out / dt if dt > 0 else 0.0,

@@ -18,6 +18,10 @@ Endpoints
   POST /v1/completions   {"prompt": [token ids], "max_tokens": N,
                           "temperature"?: f, "top_p"?: f, "eos_id"?: id,
                           "stop_ids"?: [ids], "stream"?: bool}
+      Sampling overrides an engine cannot honor are REJECTED with 400 (the
+      sampling program structure is compiled per EngineConfig: a greedy
+      server — the CLI default — cannot enable per-request sampling; start
+      it with --temperature/--top-p).
       -> {"uid", "tokens", "finish_reason", "prompt_len", "ttft_s", "total_s"}
       or, with "stream": true, chunked server-sent-event lines
       ``data: {"token": t}`` per generated token and a final
@@ -159,44 +163,63 @@ class EngineServer:
 
     def _engine_loop(self) -> None:
         while not self._stop.is_set():
-            # drain new submissions (non-blocking while busy; park when idle)
             try:
-                req = self._subq.get(timeout=0.0 if self._busy() else 0.2)
-                while True:
-                    try:
-                        self.engine.submit(req)
-                    except ValueError as e:  # bad request: fail its future
-                        p = self._pending.pop(req.uid, None)
-                        if p is not None:
-                            p.error = str(e)
-                            if p.stream_q is not None:
-                                p.stream_q.put(None)
-                            p.done.set()
-                    req = self._subq.get_nowait()
-            except queue.Empty:
-                pass
-            while not self._abortq.empty():
-                try:
-                    uid, holder = self._abortq.get_nowait()
-                except queue.Empty:
-                    break
-                holder["aborted"] = self.engine.abort(uid)
-                holder["done"].set()
-            if self._busy():
-                self.engine.step()
-            # fan out finished completions
-            comps = self.engine.completions
-            while self._consumed < len(comps):
-                c = comps[self._consumed]
-                self._consumed += 1
-                # pop: the handler thread holds its own reference; the map
-                # must not grow without bound over a long-lived server
-                p = self._pending.pop(c.uid, None)
-                if p is not None:
-                    p.completion = c
+                self._engine_tick()
+            except Exception as e:  # noqa: BLE001 - a dead loop hangs every client
+                log.exception("engine tick failed; failing in-flight requests")
+                with self._plock:
+                    pending, self._pending = self._pending, {}
+                for p in pending.values():
+                    p.error = f"internal engine error: {e}"
                     if p.stream_q is not None:
-                        p.stream_q.put(None)  # end-of-stream sentinel
+                        p.stream_q.put(None)
                     p.done.set()
+
+    def _engine_tick(self) -> None:
+        # drain new submissions (non-blocking while busy; park when idle)
+        try:
+            req = self._subq.get(timeout=0.0 if self._busy() else 0.2)
+            while True:
+                try:
+                    self.engine.submit(req)
+                except ValueError as e:  # bad request: fail its future
+                    p = self._pending.pop(req.uid, None)
+                    if p is not None:
+                        p.error = str(e)
+                        if p.stream_q is not None:
+                            p.stream_q.put(None)
+                        p.done.set()
+                req = self._subq.get_nowait()
+        except queue.Empty:
+            pass
+        while not self._abortq.empty():
+            try:
+                uid, holder = self._abortq.get_nowait()
+            except queue.Empty:
+                break
+            holder["aborted"] = self.engine.abort(uid)
+            holder["done"].set()
+        if self._busy():
+            self.engine.step()
+        # fan out finished completions
+        comps = self.engine.completions
+        while self._consumed < len(comps):
+            c = comps[self._consumed]
+            self._consumed += 1
+            # pop: the handler thread holds its own reference; the map
+            # must not grow without bound over a long-lived server
+            p = self._pending.pop(c.uid, None)
+            if p is not None:
+                p.completion = c
+                if p.stream_q is not None:
+                    p.stream_q.put(None)  # end-of-stream sentinel
+                p.done.set()
+        # trim the consumed prefix: engine.completions would otherwise grow
+        # (tokens + logprobs per request) for the life of the server.  The
+        # engine thread owns both the list and _consumed, so this is safe.
+        if self._consumed >= 256:
+            del comps[: self._consumed]
+            self._consumed = 0
 
     # -- HTTP --------------------------------------------------------------
 
