@@ -392,3 +392,84 @@ def test_from_bnb_state_nf4_pairk_lut(rng):
     # and within one bf16 rounding of bnb's f32 dequant
     rel = np.abs(got - want_f32).mean() / (np.abs(want_f32).mean() + 1e-12)
     assert rel < 5e-3, rel
+
+
+def _bnb_serialize(stem: str, w: np.ndarray, out: dict, quant_type="fp4", nested=False):
+    """Fabricate HF-serialized bitsandbytes state for one linear (the format
+    transformers writes for load_in_4bit models: bnb QuantState.as_dict
+    packed=True).  Codes come from our golden, which is bit-exact to bnb
+    (test_from_bnb_state_exact)."""
+    code = fmt.FP4_CODE if quant_type == "fp4" else fmt.NF4_CODE
+    packed_flat, absmax_flat = fmt.quantize_fp4(w, code=code)
+    out[f"{stem}.weight"] = packed_flat.reshape(-1, 1)
+    qs = {"quant_type": quant_type, "blocksize": 64, "dtype": "float16",
+          "shape": [int(v) for v in w.shape]}
+    if nested:
+        offset = float(absmax_flat.mean())
+        centered = absmax_flat - offset
+        qmap = np.linspace(centered.min() - 1e-6, centered.max() + 1e-6, 256).astype(np.float32)
+        u8 = np.abs(centered[:, None] - qmap[None, :]).argmin(1).astype(np.uint8)
+        nb = 256
+        out[f"{stem}.weight.absmax"] = u8
+        out[f"{stem}.weight.nested_absmax"] = np.ones(-(-u8.size // nb), np.float32)
+        out[f"{stem}.weight.nested_quant_map"] = qmap
+        qs.update(nested_blocksize=nb, nested_offset=offset, nested_dtype="float32")
+    else:
+        out[f"{stem}.weight.absmax"] = absmax_flat.astype(np.float32)
+    out[f"{stem}.weight.quant_map"] = code
+    out[f"{stem}.weight.quant_state.bitsandbytes__{quant_type}"] = np.frombuffer(
+        json.dumps(qs).encode(), np.uint8).copy()
+
+
+def test_convert_bnb_serialized_checkpoint(tmp_path):
+    """CLI-converts an HF checkpoint SAVED WITH bitsandbytes 4-bit state
+    (the reference's whole serving target): stored codes import exactly
+    (variant 'exact', no requantization), double-quantized absmax decodes,
+    and the loaded model's forward tracks the full-precision twin."""
+    from safetensors.numpy import save_file
+
+    from torch_bnb_fp4_tpu.convert import convert_hf_model, from_bnb_state
+
+    weights = T.random_weights(CFG, seed=31)
+    t: dict = {}
+    for name, w in weights.items():
+        stem = name[: -len(".weight")]
+        is_linear = any(s in name for s in
+                        ("q_proj", "k_proj", "v_proj", "o_proj",
+                         "gate_proj", "up_proj", "down_proj"))
+        if is_linear:
+            _bnb_serialize(stem, np.asarray(w, np.float32), t,
+                           nested=("o_proj" in name))  # one double-quant layer
+        else:
+            t[name] = np.asarray(w, np.float32)
+    src = tmp_path / "hf"
+    os.makedirs(src)
+    hf_cfg = dict(vocab_size=CFG.vocab_size, hidden_size=CFG.dim,
+                  num_hidden_layers=CFG.n_layers, num_attention_heads=CFG.n_heads,
+                  num_key_value_heads=CFG.n_kv_heads, intermediate_size=CFG.ffn_dim,
+                  quantization_config={"quant_method": "bitsandbytes",
+                                       "load_in_4bit": True,
+                                       "bnb_4bit_quant_type": "fp4"})
+    with open(src / "config.json", "w") as f:
+        json.dump(hf_cfg, f)
+    save_file(t, str(src / "model.safetensors"))
+
+    cfg2 = convert_hf_model(str(src), str(tmp_path / "out"), verbose=False)
+    assert cfg2.quant_type == "fp4" and cfg2.variant == "exact"
+    cfg3, params = load_checkpoint(str(tmp_path / "out"))
+
+    # exactness: the stored codes survive byte-for-byte (q_proj, plain absmax)
+    name = "model.layers.0.self_attn.q_proj"
+    w0 = np.asarray(weights[name + ".weight"], np.float32)
+    pf, af = fmt.quantize_fp4(w0)
+    direct = from_bnb_state(pf, af, w0.shape)
+    np.testing.assert_array_equal(
+        np.asarray(params.layers[0].wq.packed), np.asarray(direct.packed))
+    assert params.layers[0].wq.variant == "exact"
+
+    # end to end: forward tracks the bf16 twin within the FP4 envelope
+    tokens = jnp.asarray([[3, 1, 4, 1]], jnp.int32)
+    ref = np.asarray(T.reference_forward(CFG, weights, tokens))
+    got, _ = forward(params, cfg3, tokens, KVCache.zeros(cfg3, 1, 4))
+    corr = np.corrcoef(np.asarray(got).ravel(), ref.ravel())[0, 1]
+    assert corr > 0.95, corr

@@ -252,6 +252,68 @@ def _np_quant_linear(cfg: ModelConfig, w: np.ndarray, bias: np.ndarray | None):
     )
 
 
+# HF-serialized bitsandbytes 4-bit state (what ``transformers`` writes when
+# saving a ``load_in_4bit`` model; bnb QuantState.as_dict(packed=True)):
+#   <stem>.weight                         uint8 (numel/2, 1) packed codes
+#   <stem>.weight.absmax                  f32 (nblocks,)  [u8 when nested]
+#   <stem>.weight.quant_map               f32 (16,)
+#   <stem>.weight.quant_state.bitsandbytes__{fp4,nf4}
+#                                         uint8 JSON blob: blocksize/shape/
+#                                         dtype (+ nested_offset/_blocksize)
+#   <stem>.weight.nested_absmax/.nested_quant_map   (double-quant only)
+_BNB_META = ".weight.quant_state.bitsandbytes__"
+
+
+def _bnb_state(t: dict, stem: str):
+    """Parse a layer's serialized bnb state: (packed_flat u8, absmax f32,
+    shape, blocksize, quant_type, bias) or None when not bnb-quantized.
+    Double-quantized absmax is decoded here (the reference REJECTS such
+    checkpoints, README.md:221-224)."""
+    for qt in ("fp4", "nf4"):
+        mk = f"{stem}{_BNB_META}{qt}"
+        if mk in t:
+            break
+    else:
+        return None
+    qs = json.loads(bytes(np.asarray(t[mk], np.uint8).reshape(-1)).decode())
+    shape = tuple(int(v) for v in qs["shape"])
+    bs = int(qs["blocksize"])
+    absmax = np.asarray(t[f"{stem}.weight.absmax"])
+    if f"{stem}.weight.nested_absmax" in t:
+        from .bnb import dequantize_nested_absmax
+
+        absmax = dequantize_nested_absmax(
+            absmax, t[f"{stem}.weight.nested_absmax"],
+            t[f"{stem}.weight.nested_quant_map"], float(qs["nested_offset"]),
+            int(qs.get("nested_blocksize", 256)),
+        )
+    bias = t.get(f"{stem}.bias")
+    packed = np.asarray(t[f"{stem}.weight"]).reshape(-1)
+    return packed, absmax.astype(np.float32), shape, bs, qt, (
+        None if bias is None else _to_f32(bias))
+
+
+def _bnb_stored_linear(t: dict, stem: str):
+    """EXACT QuantLinear from serialized bnb state (codes + absmax grid
+    preserved); None when ``stem`` is not bnb-quantized here."""
+    st = _bnb_state(t, stem)
+    if st is None:
+        return None
+    packed, absmax, shape, bs, qt, bias = st
+    from .bnb import from_bnb_state
+
+    return from_bnb_state(packed, absmax, shape, blocksize=bs, quant_type=qt, bias=bias)
+
+
+def _bnb_dense_weight(t: dict, stem: str):
+    """Dequantize a serialized bnb layer to a full (n_out, k_in) f32 weight
+    (used when --ignore keeps a stored-quantized layer dense)."""
+    packed, absmax, shape, bs, qt, bias = _bnb_state(t, stem)
+    code = fmt.FP4_CODE if qt == "fp4" else fmt.NF4_CODE
+    w = fmt.dequantize_fp4(packed, absmax, shape, blocksize=bs, code=code)
+    return w, bias
+
+
 def _np_dense_linear(w: np.ndarray, bias: np.ndarray | None) -> DenseLinear:
     w = _to_f32(w)
     n_out, k_in = w.shape
@@ -306,6 +368,23 @@ def convert_hf_model(
         with safe_open(os.path.join(model_dir, fn), framework="np") as f:
             all_keys.update(f.keys())
 
+    # pre-quantized bitsandbytes checkpoint (HF save of a load_in_4bit
+    # model): import the stored codes EXACTLY instead of requantizing
+    bnb_qt = next(
+        (qt for qt in ("fp4", "nf4") if any(k.endswith(_BNB_META + qt) for k in all_keys)),
+        None,
+    )
+    if bnb_qt is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, quant_type=bnb_qt,
+            variant="exact" if bnb_qt == "fp4" else cfg.variant,
+        )
+        if verbose:
+            print(f"bitsandbytes {bnb_qt} checkpoint detected: importing stored "
+                  "codes exactly (no requantization)")
+
     def group_of(key: str) -> str:
         if key.startswith("model.layers."):
             return "layers." + key.split(".")[2]
@@ -336,12 +415,19 @@ def convert_hf_model(
         }
         meta: dict = {"kind": "layer", "linears": {}}
         for f, suffix in _LINEAR_FIELDS.items():
-            w = t[p + suffix + ".weight"]
-            bias = t.get(p + suffix + ".bias")
-            if is_ignored(p + suffix):
-                q = _np_dense_linear(w, bias)
-            else:
-                q = _np_quant_linear(cfg, w, bias)
+            q = None if is_ignored(p + suffix) else _bnb_stored_linear(t, p + suffix)
+            if q is None:
+                w = t[p + suffix + ".weight"]
+                bias = t.get(p + suffix + ".bias")
+                if is_ignored(p + suffix):
+                    if any(f"{p}{suffix}{_BNB_META}{qt}" in t for qt in ("fp4", "nf4")):
+                        # --ignore on a bnb-quantized layer: the checkpoint
+                        # has no full-precision weights; dequantize its
+                        # stored state to bf16 instead
+                        w, bias = _bnb_dense_weight(t, p + suffix)
+                    q = _np_dense_linear(w, bias)
+                else:
+                    q = _np_quant_linear(cfg, w, bias)
             m = _ql_to_arrays(f"layers.{i}.{f}", q, arrays)
             m["row_parallel"] = f in _ROW_PARALLEL
             meta["linears"][f] = m
