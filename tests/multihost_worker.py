@@ -40,6 +40,8 @@ from torch_bnb_fp4_tpu.parallel import (
     cache_specs,
     make_mesh,
     param_specs,
+    shard_cache,
+    shard_params,
     tp_forward_fn,
     validate_tp,
 )
@@ -54,6 +56,8 @@ params = quantize_params(cfg, weights)  # identical on every process (same seed)
 
 
 def globalize(tree, specs):
+    # per-tensor specs (tokens); params/cache go through the library's
+    # shard_params/shard_cache, whose multi-process path this test pins
     def put(x, spec):
         x = np.asarray(jax.device_get(x))
         sh = NamedSharding(mesh, spec)
@@ -62,10 +66,10 @@ def globalize(tree, specs):
     return jax.tree.map(put, tree, specs)
 
 
-gparams = globalize(params, param_specs(params))
+gparams = shard_params(params, mesh)
 b, max_len, lp = n_data, 8, 3
 cache = KVCache.zeros(cfg, b, max_len)
-gcache = globalize(cache, cache_specs(cache))
+gcache = shard_cache(cache, mesh)
 tokens = np.tile(np.asarray([[1, 2, 3]], np.int32), (b, 1))
 gtokens = globalize(tokens, P(DATA_AXIS, None))
 
@@ -170,3 +174,60 @@ all2 = multihost_utils.process_allgather(blob2)
 assert (np.asarray(all2) == blob2[None, :]).all(), "processes disagree (prefix/spec)"
 
 print(f"MULTIHOST_FEATURES_OK pid={pid} prefix_hits={st2['prefix_hits']}", flush=True)
+
+# ---------------------------------------------------------------------------
+# Multi-host SERVING at the product level: HTTP front-end on process 0,
+# followers in serve.multihost.follow — each tick's submissions broadcast
+# so every process's engine steps in lockstep (serve/multihost.py).
+# ---------------------------------------------------------------------------
+from torch_bnb_fp4_tpu.serve import MultihostEngineServer, follow
+
+eng3 = Engine(
+    gparams, cfg,
+    EngineConfig(max_batch=2 * n_data, max_len=16, inner_steps=2),
+    mesh=mesh,
+)
+CASES = ((1, [1, 2, 3], 4), (2, [4, 5], 3))
+if pid == 0:
+    import json as _json
+    import threading
+    import urllib.request
+
+    srv = MultihostEngineServer(eng3, port=0).start()
+
+    def post(body):
+        r = urllib.request.Request(
+            f"http://{srv.host}:{srv.port}/v1/completions",
+            data=_json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(r, timeout=300) as resp:
+            return _json.loads(resp.read())
+
+    out = {}
+
+    def go(key, prompt, n):
+        out[key] = post({"prompt": prompt, "max_tokens": n})
+
+    ts = [threading.Thread(target=go, args=c) for c in CASES]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join(timeout=300)
+    for key, prompt, n in CASES:
+        want = np.asarray(
+            generate(params, cfg, jnp.asarray([prompt], jnp.int32), max_new_tokens=n)
+        )[0].tolist()
+        assert out[key]["tokens"] == want, (key, out[key], want)
+    srv.stop()
+else:
+    follow(eng3)  # returns when process 0's server stops
+# every process saw the same served tokens (engine state is lockstep)
+served = np.asarray(
+    [t for c in sorted(eng3.completions, key=lambda c: c.uid) for t in c.tokens],
+    np.int32,
+)
+all_served = multihost_utils.process_allgather(served)
+assert (np.asarray(all_served) == served[None, :]).all(), "HTTP serving desynced"
+
+print(f"MULTIHOST_HTTP_OK pid={pid} served={len(eng3.completions)}", flush=True)

@@ -39,7 +39,7 @@ def test_two_process_tp_forward():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=540)
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -50,3 +50,4 @@ def test_two_process_tp_forward():
         assert "MULTIHOST_OK" in out, out
         assert "MULTIHOST_ENGINE_OK" in out, out
         assert "MULTIHOST_FEATURES_OK" in out, out
+        assert "MULTIHOST_HTTP_OK" in out, out

@@ -166,19 +166,29 @@ def cache_specs(cache: T.KVCache, data_sharded: bool = True) -> T.KVCache:
     return jax.tree_util.tree_map_with_path(spec, cache)
 
 
+def _put_sharded(x, spec, mesh: Mesh):
+    """Place one leaf against its NamedSharding.  Single process:
+    device_put.  Multi-process (mesh spans hosts, where device_put of a
+    host-local array is illegal): every process holds the same full array
+    (same checkpoint / same seed) and contributes its addressable shards via
+    make_array_from_callback."""
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    a = np.asarray(jax.device_get(x))
+    return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
+
+
 def shard_params(params: T.ModelParams, mesh: Mesh) -> T.ModelParams:
-    """device_put every leaf against its NamedSharding."""
+    """Shard every param leaf against its spec (works single- or
+    multi-process; see _put_sharded)."""
     specs = param_specs(params)
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
-    )
+    return jax.tree.map(lambda x, s: _put_sharded(x, s, mesh), params, specs)
 
 
 def shard_cache(cache: T.KVCache, mesh: Mesh) -> T.KVCache:
     specs = cache_specs(cache)
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
-    )
+    return jax.tree.map(lambda x, s: _put_sharded(x, s, mesh), cache, specs)
 
 
 # ---------------------------------------------------------------------------

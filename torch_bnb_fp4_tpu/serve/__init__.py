@@ -1,4 +1,5 @@
 from .engine import Completion, Engine, EngineConfig, Request, prompt_lookup_draft
+from .multihost import MultihostEngineServer, follow
 from .server import EngineServer
 
 __all__ = [
@@ -8,4 +9,6 @@ __all__ = [
     "Completion",
     "prompt_lookup_draft",
     "EngineServer",
+    "MultihostEngineServer",
+    "follow",
 ]

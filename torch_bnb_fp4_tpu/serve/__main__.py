@@ -33,6 +33,16 @@ def main() -> None:
     ap.add_argument("--prefix-cache", action="store_true")
     ap.add_argument("--logprobs", action="store_true",
                     help="emit per-token logprobs on every completion")
+    ap.add_argument("--multihost", action="store_true",
+                    help="multi-process serving: jax.distributed.initialize() "
+                         "(env/TPU-metadata bring-up, or set --coordinator), "
+                         "HTTP on process 0, follower engine loops elsewhere")
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator address for --multihost off-pod runs "
+                         "(with JAX_NUM_PROCESSES/JAX_PROCESS_ID env vars)")
+    ap.add_argument("--tp", type=int, default=0,
+                    help="model-axis width (0 = all devices on the model axis"
+                         " after the data axis takes process count)")
     ap.add_argument("--kv-dtype", default="bfloat16",
                     choices=["bfloat16", "float8_e4m3fn"])
     ap.add_argument("--tokenizer", default=None, metavar="DIR",
@@ -50,14 +60,34 @@ def main() -> None:
     from ..models import transformer as T
     from . import Engine, EngineConfig, EngineServer
 
+    mesh = None
+    if args.multihost:
+        import jax
+
+        from ..parallel import init_multihost, make_mesh, shard_params, validate_tp
+
+        init_multihost(coordinator_address=args.coordinator)
+        n_data = jax.process_count()
+        n_model = args.tp or jax.device_count() // n_data
+        logging.info("multihost: %d processes, mesh data=%d x model=%d",
+                     n_data, n_data, n_model)
+
     if args.ckpt:
         from ..convert import load_checkpoint
 
-        cfg, params = load_checkpoint(args.ckpt)
+        cfg, params = load_checkpoint(
+            args.ckpt, tp=(n_model if args.multihost else 1))
     else:
         cfg = ModelConfig.tiny_test(n_layers=2)
         params = quantize_params(cfg, T.random_weights(cfg, seed=0))
         logging.info("no --ckpt: serving a tiny random-weight model")
+
+    if args.multihost:
+        validate_tp(cfg, n_model)
+        mesh = make_mesh(n_model=n_model, n_data=n_data)
+        params = shard_params(params, mesh)
+        if args.max_batch % n_data:
+            ap.error(f"--max-batch must be a multiple of process count {n_data}")
 
     eng = Engine(params, cfg, EngineConfig(
         max_batch=args.max_batch, max_len=args.max_len,
@@ -65,7 +95,7 @@ def main() -> None:
         top_p=args.top_p, top_k=args.top_k, prefill_chunk=args.prefill_chunk,
         spec_tokens=args.spec_tokens, prefix_cache=args.prefix_cache,
         kv_dtype=args.kv_dtype, logprobs=args.logprobs,
-    ))
+    ), mesh=mesh)
     if args.warmup_prompt_len:
         logging.info("warming up (prompts to %d)...", args.warmup_prompt_len)
         eng.warmup(max_prompt_len=args.warmup_prompt_len)
@@ -76,7 +106,20 @@ def main() -> None:
 
         tok = AutoTokenizer.from_pretrained(args.tokenizer, local_files_only=True)
 
-    srv = EngineServer(eng, host=args.host, port=args.port, tokenizer=tok).start()
+    if args.multihost:
+        import jax
+
+        from . import MultihostEngineServer, follow
+
+        if jax.process_index() != 0:
+            logging.info("follower process %d: engine loop in lockstep",
+                         jax.process_index())
+            follow(eng)  # returns when process 0's server stops
+            return
+        srv = MultihostEngineServer(eng, host=args.host, port=args.port,
+                                    tokenizer=tok).start()
+    else:
+        srv = EngineServer(eng, host=args.host, port=args.port, tokenizer=tok).start()
     print(f"serving on http://{srv.host}:{srv.port}  (Ctrl-C to stop)")
     try:
         srv._http_thread.join()
