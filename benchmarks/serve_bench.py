@@ -152,7 +152,68 @@ def prefix(model="mistral7b", sys_len=1024):
               flush=True)
 
 
+def spec(model="mistral7b", new_tokens=256):
+    """Speculative-decoding throughput A/B (round-3 backlog item 5): batch-1
+    greedy decode with prompt-lookup speculation on vs off, plus the measured
+    acceptance (``spec_tokens_per_forward``).  Speculation pays off when the
+    model's own output is self-repetitive; with synthetic weights that is
+    seed-dependent, so the script first probes the plain greedy output for
+    tail periodicity and labels the result accordingly — on repetitive output
+    every accepted draft token is a near-free extra token (the verify forward
+    is weight-bound), on non-repetitive output the A/B shows the overhead of
+    rejected drafts instead.
+
+    Run: python benchmarks/serve_bench.py spec [model] [new_tokens]"""
+    import dataclasses
+
+    from torch_bnb_fp4_tpu.serve import Engine, EngineConfig, Request
+
+    cfg = {"mistral7b": ModelConfig.mistral_7b, "tinyllama": ModelConfig.tinyllama_1b}[model]()
+    cfg = dataclasses.replace(cfg, quantize_lm_head=True)
+    params = synth_params(cfg, quantized=True, seed=0, fuse=True)
+    jax.block_until_ready(params)
+    rng = np.random.default_rng(0)
+    # A prompt whose trailing n-gram recurs gives the drafter somewhere to
+    # start; whether drafts get ACCEPTED depends on the model's continuation.
+    base = rng.integers(1, cfg.vocab_size, 24).tolist()
+    prompt = base + base[:8] + base[:8]
+    max_len = len(prompt) + new_tokens + 16
+
+    results = {}
+    for k in (0, 4):
+        ecfg = EngineConfig(max_batch=1, max_len=max_len, inner_steps=4,
+                            spec_tokens=k, spec_ngram=3)
+        eng = Engine(params, cfg, ecfg)
+        print(f"warmup (spec_tokens={k})...", file=sys.stderr, flush=True)
+        eng.warmup(prompt_lens=[len(prompt)])
+        # untimed full run to trigger any remaining traces, then timed run
+        res = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=new_tokens)])
+        toks = res[0].tokens
+        t0 = time.perf_counter()
+        res = eng.run([Request(uid=1, prompt=prompt, max_new_tokens=new_tokens)])
+        dt = time.perf_counter() - t0
+        assert res[1].tokens == toks, "speculative run must be token-exact"
+        acc = eng.stats()["spec_tokens_per_forward"]
+        results[k] = (len(toks) / dt, acc)
+        if k == 0:
+            # tail periodicity probe: does the greedy output repeat?
+            tail = toks[-64:]
+            period = next((p for p in range(1, 33) if tail[p:] == tail[:-p]), 0)
+            print(f"{model}: plain greedy output tail period = "
+                  f"{period if period else 'none (aperiodic)'}", flush=True)
+    base_tps, _ = results[0]
+    spec_tps, acc = results[4]
+    print(f"{model} batch-1 greedy, {new_tokens} new tokens:")
+    print(f"  spec off: {base_tps:6.1f} tok/s")
+    print(f"  spec on : {spec_tps:6.1f} tok/s  ({spec_tps/base_tps:.2f}x)  "
+          f"acceptance {acc:.2f} tokens/verify-forward", flush=True)
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "spec":
+        spec(sys.argv[2] if len(sys.argv) > 2 else "mistral7b",
+             int(sys.argv[3]) if len(sys.argv) > 3 else 256)
+        sys.exit(0)
     if len(sys.argv) > 1 and sys.argv[1] == "jitter":
         jitter(sys.argv[2] if len(sys.argv) > 2 else "mistral7b",
                int(sys.argv[3]) if len(sys.argv) > 3 else 0)

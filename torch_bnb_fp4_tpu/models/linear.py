@@ -72,11 +72,13 @@ class QuantLinear:
 
     @property
     def n_pad(self) -> int:
-        return self.packed.shape[1]
+        # trailing axes so a STACKED linear (leading expert axis over every
+        # leaf, models/transformer.stack_linears) reports per-expert shapes
+        return self.packed.shape[-1]
 
     @property
     def k_pad(self) -> int:
-        return 2 * self.packed.shape[0]
+        return 2 * self.packed.shape[-2]
 
     def __call__(self, x: jax.Array, **kw) -> jax.Array:
         return apply_linear(self, x, **kw)
@@ -340,6 +342,8 @@ def fuse_linears(linears: list[QuantLinear], tp: int = 1) -> QuantLinear:
     assert all(l.n_out % tp == 0 for l in linears)
 
     def interleave(arrs, axis):
+        # axis counts from the END so stacked linears (leading expert axis,
+        # models/transformer.stack_linears) fuse with the same call
         if tp == 1:
             return jnp.concatenate(arrs, axis=axis)
         parts = []
@@ -349,12 +353,13 @@ def fuse_linears(linears: list[QuantLinear], tp: int = 1) -> QuantLinear:
                 parts.append(jax.lax.slice_in_dim(a, d * n_loc, (d + 1) * n_loc, axis=axis))
         return jnp.concatenate(parts, axis=axis)
 
-    packed = interleave([l.packed for l in linears], 1)
-    scale = interleave([l.absmax_hi for l in linears], 1)
+    packed = interleave([l.packed for l in linears], -1)
+    scale = interleave([l.absmax_hi for l in linears], -1)
     biases = [l.bias for l in linears]
     if any(b is not None for b in biases):
         bias = interleave(
-            [b if b is not None else jnp.zeros((l.n_out,), jnp.float32) for b, l in zip(biases, linears)], 0
+            [b if b is not None else jnp.zeros((*l.packed.shape[:-2], l.n_out), jnp.float32)
+             for b, l in zip(biases, linears)], -1
         )
     else:
         bias = None

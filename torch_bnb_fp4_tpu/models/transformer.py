@@ -71,6 +71,13 @@ class ModelConfig:
     # "llama3"): (factor, low_freq_factor, high_freq_factor,
     # original_max_position_embeddings); None = plain RoPE
     rope_scaling: tuple[float, float, float, float] | None = None
+    # Mixture-of-experts (Mixtral family, HF MixtralSparseMoeBlock
+    # conventions): n_experts > 0 replaces the dense MLP with a router over
+    # ``n_experts`` SwiGLU experts, ``experts_per_tok`` active per token
+    # (softmax -> top-k -> renormalize, expert outputs weighted-summed).
+    # 0 = dense MLP (every non-Mixtral family).
+    n_experts: int = 0
+    experts_per_tok: int = 2
 
     def __post_init__(self):
         if self.head_dim is None:
@@ -144,12 +151,64 @@ class ModelConfig:
         )
 
     @classmethod
+    def mixtral_8x7b(cls) -> "ModelConfig":
+        # Mixtral-8x7B-Instruct-v0.1: Mistral-7B attention geometry with 8
+        # SwiGLU experts, 2 active per token (HF MixtralConfig defaults).
+        # FP4-packed experts are ~23.5 GB — serve with tp >= 2 on v5e.
+        return cls(
+            vocab_size=32000, dim=4096, n_layers=32, n_heads=32, n_kv_heads=8,
+            ffn_dim=14336, rope_theta=1e6, n_experts=8, experts_per_tok=2,
+        )
+
+    @classmethod
     def tiny_test(cls, **kw) -> "ModelConfig":
         """Small geometry for CPU/interpret tests (K multiples of 1024)."""
         d = dict(vocab_size=256, dim=1024, n_layers=2, n_heads=8, n_kv_heads=4,
                  ffn_dim=2048)
         d.update(kw)
         return cls(**d)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MoEParams:
+    """Mixture-of-experts MLP state (Mixtral family).
+
+    ``router`` is a small dense (dim -> n_experts) linear (never quantized —
+    8*dim params, and routing decisions are the one place 4-bit noise
+    changes WHICH weights run).  The expert weights are STACKED: each leaf of
+    ``gate``/``up``/``down`` (and fused ``gateup``) carries a leading
+    ``n_experts`` axis over an otherwise ordinary QuantLinear/DenseLinear
+    layout.  Stacking is what makes both dispatch strategies cheap on TPU:
+    a traced token can ``dynamic_index`` its expert out of the stack (decode)
+    and a static loop can slice expert ``e`` for the batched all-experts pass
+    (prefill) — with per-expert pytrees either would need an 8-way
+    ``lax.switch`` per token-slot, which multiplies program size by E.
+    TP shards the stacked leaves exactly like the dense MLP (gate/up
+    column-parallel, down row-parallel; the expert axis stays unsharded).
+    """
+
+    router: Any  # DenseLinear (dim -> n_experts)
+    gate: Any  # stacked QuantLinear/DenseLinear (leading E axis); None if fused
+    up: Any
+    down: Any  # stacked, row-parallel under TP
+    gateup: Any = None  # fused gate|up stack (models/linear.fuse_linears)
+
+
+def stack_linears(linears: list) -> Any:
+    """Stack same-shape QuantLinears/DenseLinears into one pytree whose array
+    leaves gain a leading expert axis (static metadata must match)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *linears)
+
+
+def expert_view(stacked: Any, e) -> Any:
+    """Select expert ``e`` out of a stacked linear.  ``e`` may be a traced
+    scalar (decode dispatch) or a python int (static all-experts loop)."""
+    if isinstance(e, int):
+        return jax.tree.map(lambda a: a[e], stacked)
+    return jax.tree.map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, e, 0, keepdims=False), stacked
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -161,13 +220,15 @@ class LayerParams:
     wv: Any
     wo: Any
     mlp_norm: jax.Array  # (dim,)
-    w_gate: Any  # None when w_gateup is fused
-    w_up: Any
-    w_down: Any
+    w_gate: Any = None  # None when w_gateup is fused (or the layer is MoE)
+    w_up: Any = None
+    w_down: Any = None
     # fused projections (models/linear.fuse_linears): one kernel launch for
     # QKV and one for gate|up — the decode hot path default
     wqkv: Any = None
     w_gateup: Any = None
+    # mixture-of-experts MLP (Mixtral): replaces w_gate/w_up/w_down
+    moe: Any = None
 
 
 @jax.tree_util.register_dataclass
@@ -310,6 +371,81 @@ def _attention_dense(
     return out.reshape(b, lq, hq, d).astype(q.dtype)
 
 
+def _expert_ffn(moe: MoEParams, cfg: ModelConfig, e, x: jax.Array) -> jax.Array:
+    """SwiGLU of ONE expert (selected by ``e``, traced or static) on rows
+    ``x`` (T, dim) -> f32 (T, dim) — same op order as the dense MLP branch of
+    ``_layer_forward`` so quantized-vs-dense twins stay comparable.  Under TP
+    the result is a row-parallel PARTIAL (caller psums once for the whole
+    weighted expert sum, preserving the 2-collectives-per-layer pattern)."""
+    if moe.gateup is not None:
+        gu = expert_view(moe.gateup, e)(x)
+        gate, up = jnp.split(gu, 2, axis=-1)
+    else:
+        gate = expert_view(moe.gate, e)(x)
+        up = expert_view(moe.up, e)(x)
+    h = _act(cfg, gate).astype(up.dtype) * up
+    return expert_view(moe.down, e)(h, out_dtype=jnp.float32)
+
+
+def moe_forward(
+    moe: MoEParams,
+    cfg: ModelConfig,
+    x: jax.Array,  # (..., dim)
+    axis_name: str | None = None,
+    force_dense: bool | None = None,
+) -> jax.Array:
+    """Sparse-MoE MLP (HF MixtralSparseMoeBlock semantics): router softmax in
+    f32, top-``experts_per_tok``, renormalize over the selected k, weighted
+    sum of expert outputs.  Returns f32 ``(..., dim)`` (a partial under TP —
+    the caller psums + casts, mirroring the dense row-parallel path).
+
+    Trace-time dispatch between two exact strategies (no token dropping, no
+    capacity factor — serving must not silently degrade output):
+
+    * per-token (decode): each token ``dynamic_index``es its k experts out of
+      the stacked weights and runs k GEMVs — HBM reads scale with the ACTIVE
+      experts only.  Chosen when T*k <= n_experts (fewer expert-weight reads
+      than touching every expert).
+    * all-experts (prefill): a static loop over the E experts runs the full
+      (T, dim) batch through each and masks by per-token routing weight —
+      E/k x the ideal FLOPs, but every matmul is a large MXU-shaped GEMM and
+      no gather/scatter appears in the graph.  The classic capacity-based
+      dispatch trades exactness for FLOPs; on TPU the batched form wins for
+      the modest E of the Mixtral family.
+    """
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    t = int(np.prod(lead)) if lead else 1
+    xt = x.reshape(t, d)
+    router_logits = moe.router(xt, out_dtype=jnp.float32)  # (T, E)
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    top_w, top_i = jax.lax.top_k(probs, cfg.experts_per_tok)  # (T, k)
+    top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+    if axis_name is not None and getattr(moe.down, "bias", None) is not None:
+        # a per-expert down bias would be added once per shard before the
+        # psum; no supported family has expert biases, so fail loudly
+        raise ValueError("expert down-projection bias is unsupported under TP")
+    per_token = t * cfg.experts_per_tok <= cfg.n_experts
+    if force_dense is not None:
+        per_token = not force_dense
+    if per_token:
+        rows = []
+        for ti in range(t):  # static: T is a trace-time shape
+            acc = jnp.zeros((d,), jnp.float32)
+            for j in range(cfg.experts_per_tok):
+                y = _expert_ffn(moe, cfg, top_i[ti, j], xt[ti : ti + 1])
+                acc = acc + top_w[ti, j] * y[0]
+            rows.append(acc)
+        out = jnp.stack(rows)
+    else:
+        out = jnp.zeros((t, d), jnp.float32)
+        for e in range(cfg.n_experts):  # static loop over the expert stack
+            y = _expert_ffn(moe, cfg, e, xt)
+            w_e = jnp.sum(top_w * (top_i == e), axis=-1)  # (T,) routing mass
+            out = out + w_e[:, None] * y
+    return out.reshape(*lead, d)
+
+
 def _layer_forward(
     lp: LayerParams,
     cfg: ModelConfig,
@@ -373,14 +509,18 @@ def _layer_forward(
     wo, wo_bias = _split_bias(lp.wo, axis_name)
     x = x + _reduce(_row_parallel(wo, attn.reshape(b, l, n_heads * cfg.head_dim)), wo_bias)
     h = rms_norm(x, lp.mlp_norm, cfg.rms_eps, cfg.norm_offset)
-    if lp.w_gateup is not None:
-        gu = lp.w_gateup(h)
-        gate, up = jnp.split(gu, 2, axis=-1)
+    if lp.moe is not None:
+        y = moe_forward(lp.moe, cfg, h, axis_name=axis_name)  # f32 (partial)
+        x = x + _reduce(y, None)
     else:
-        gate = lp.w_gate(h)
-        up = lp.w_up(h)
-    wd, wd_bias = _split_bias(lp.w_down, axis_name)
-    x = x + _reduce(_row_parallel(wd, _act(cfg, gate).astype(up.dtype) * up), wd_bias)
+        if lp.w_gateup is not None:
+            gu = lp.w_gateup(h)
+            gate, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate = lp.w_gate(h)
+            up = lp.w_up(h)
+        wd, wd_bias = _split_bias(lp.w_down, axis_name)
+        x = x + _reduce(_row_parallel(wd, _act(cfg, gate).astype(up.dtype) * up), wd_bias)
     return x, k_cache, v_cache
 
 
@@ -519,6 +659,12 @@ def fuse_params(params: ModelParams, tp: int = 1) -> ModelParams:
         if _fusable(lp.w_gate, lp.w_up):
             rep.update(w_gateup=fuse_linears([lp.w_gate, lp.w_up], tp=tp),
                        w_gate=None, w_up=None)
+        if lp.moe is not None and _fusable(lp.moe.gate, lp.moe.up):
+            # fuse_linears operates on trailing axes, so the stacked expert
+            # leaves (leading E axis) fuse in one call
+            rep.update(moe=dataclasses.replace(
+                lp.moe, gateup=fuse_linears([lp.moe.gate, lp.moe.up], tp=tp),
+                gate=None, up=None))
         return dataclasses.replace(lp, **rep) if rep else lp
 
     return dataclasses.replace(params, layers=[fuse_layer(lp) for lp in params.layers])
@@ -535,6 +681,24 @@ def quantize_params(cfg: ModelConfig, weights: dict[str, np.ndarray], fuse: bool
         def q(name):  # optional Qwen2-style ``.bias`` rides along
             return _ql(weights[p + name + ".weight"], cfg, weights.get(p + name + ".bias"))
 
+        if cfg.n_experts:
+            ep = p + "block_sparse_moe.experts."
+            # HF Mixtral expert naming: w1 = gate, w3 = up, w2 = down
+            mlp = dict(moe=MoEParams(
+                router=dense_linear(weights[p + "block_sparse_moe.gate.weight"]),
+                gate=stack_linears([_ql(weights[f"{ep}{m}.w1.weight"], cfg)
+                                    for m in range(cfg.n_experts)]),
+                up=stack_linears([_ql(weights[f"{ep}{m}.w3.weight"], cfg)
+                                  for m in range(cfg.n_experts)]),
+                down=stack_linears([_ql(weights[f"{ep}{m}.w2.weight"], cfg)
+                                    for m in range(cfg.n_experts)]),
+            ))
+        else:
+            mlp = dict(
+                w_gate=q("mlp.gate_proj"),
+                w_up=q("mlp.up_proj"),
+                w_down=q("mlp.down_proj"),
+            )
         layers.append(LayerParams(
             attn_norm=jnp.asarray(weights[p + "input_layernorm.weight"], jnp.bfloat16),
             wq=q("self_attn.q_proj"),
@@ -542,9 +706,7 @@ def quantize_params(cfg: ModelConfig, weights: dict[str, np.ndarray], fuse: bool
             wv=q("self_attn.v_proj"),
             wo=q("self_attn.o_proj"),
             mlp_norm=jnp.asarray(weights[p + "post_attention_layernorm.weight"], jnp.bfloat16),
-            w_gate=q("mlp.gate_proj"),
-            w_up=q("mlp.up_proj"),
-            w_down=q("mlp.down_proj"),
+            **mlp,
         ))
     embed = jnp.asarray(weights["model.embed_tokens.weight"], jnp.bfloat16)
     lm_w = weights.get("lm_head.weight")
@@ -574,6 +736,20 @@ def dense_params(cfg: ModelConfig, weights: dict[str, np.ndarray], dtype=jnp.bfl
     layers = []
     for i in range(cfg.n_layers):
         p = f"model.layers.{i}."
+        if cfg.n_experts:
+            ep = p + "block_sparse_moe.experts."
+            mlp = dict(moe=MoEParams(
+                router=dl(p + "block_sparse_moe.gate"),
+                gate=stack_linears([dl(f"{ep}{m}.w1") for m in range(cfg.n_experts)]),
+                up=stack_linears([dl(f"{ep}{m}.w3") for m in range(cfg.n_experts)]),
+                down=stack_linears([dl(f"{ep}{m}.w2") for m in range(cfg.n_experts)]),
+            ))
+        else:
+            mlp = dict(
+                w_gate=dl(p + "mlp.gate_proj"),
+                w_up=dl(p + "mlp.up_proj"),
+                w_down=dl(p + "mlp.down_proj"),
+            )
         layers.append(LayerParams(
             attn_norm=jnp.asarray(weights[p + "input_layernorm.weight"], dtype),
             wq=dl(p + "self_attn.q_proj"),
@@ -581,9 +757,7 @@ def dense_params(cfg: ModelConfig, weights: dict[str, np.ndarray], dtype=jnp.bfl
             wv=dl(p + "self_attn.v_proj"),
             wo=dl(p + "self_attn.o_proj"),
             mlp_norm=jnp.asarray(weights[p + "post_attention_layernorm.weight"], dtype),
-            w_gate=dl(p + "mlp.gate_proj"),
-            w_up=dl(p + "mlp.up_proj"),
-            w_down=dl(p + "mlp.down_proj"),
+            **mlp,
         ))
     lm_w = weights.get("lm_head.weight")
     if lm_w is None:
@@ -621,9 +795,17 @@ def random_weights(cfg: ModelConfig, seed: int = 0, scale: float = 0.02) -> dict
             out[p + "self_attn.q_proj.bias"] = w(cfg.q_dim)
             out[p + "self_attn.k_proj.bias"] = w(kv_dim)
             out[p + "self_attn.v_proj.bias"] = w(kv_dim)
-        out[p + "mlp.gate_proj.weight"] = w(cfg.ffn_dim, cfg.dim)
-        out[p + "mlp.up_proj.weight"] = w(cfg.ffn_dim, cfg.dim)
-        out[p + "mlp.down_proj.weight"] = w(cfg.dim, cfg.ffn_dim)
+        if cfg.n_experts:
+            out[p + "block_sparse_moe.gate.weight"] = w(cfg.n_experts, cfg.dim)
+            for m in range(cfg.n_experts):
+                ep = p + f"block_sparse_moe.experts.{m}."
+                out[ep + "w1.weight"] = w(cfg.ffn_dim, cfg.dim)
+                out[ep + "w2.weight"] = w(cfg.dim, cfg.ffn_dim)
+                out[ep + "w3.weight"] = w(cfg.ffn_dim, cfg.dim)
+        else:
+            out[p + "mlp.gate_proj.weight"] = w(cfg.ffn_dim, cfg.dim)
+            out[p + "mlp.up_proj.weight"] = w(cfg.ffn_dim, cfg.dim)
+            out[p + "mlp.down_proj.weight"] = w(cfg.dim, cfg.ffn_dim)
     return out
 
 
@@ -655,8 +837,25 @@ def reference_forward(cfg: ModelConfig, weights: dict[str, np.ndarray], tokens: 
         attn = _attention(q, k, v, positions, kv_valid, kv_positions, cfg.sliding_window)
         x = x + lin(p + "self_attn.o_proj.weight", attn.reshape(b, l, cfg.q_dim))
         h = rms_norm(x, jnp.asarray(weights[p + "post_attention_layernorm.weight"], jnp.bfloat16), cfg.rms_eps, cfg.norm_offset)
-        gate = lin(p + "mlp.gate_proj.weight", h)
-        up = lin(p + "mlp.up_proj.weight", h)
-        x = x + lin(p + "mlp.down_proj.weight", _act(cfg, gate).astype(up.dtype) * up)
+        if cfg.n_experts:
+            hf = h.reshape(b * l, cfg.dim)
+            rl = (hf.astype(jnp.float32)
+                  @ jnp.asarray(weights[p + "block_sparse_moe.gate.weight"], jnp.float32).T)
+            probs = jax.nn.softmax(rl, axis=-1)
+            top_w, top_i = jax.lax.top_k(probs, cfg.experts_per_tok)
+            top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+            acc = jnp.zeros((b * l, cfg.dim), jnp.float32)
+            for m in range(cfg.n_experts):
+                ep = p + f"block_sparse_moe.experts.{m}."
+                g = lin(ep + "w1.weight", hf)
+                u = lin(ep + "w3.weight", hf)
+                y = lin(ep + "w2.weight", _act(cfg, g).astype(u.dtype) * u)
+                w_m = jnp.sum(top_w * (top_i == m), axis=-1)
+                acc = acc + w_m[:, None] * y.astype(jnp.float32)
+            x = x + acc.reshape(b, l, cfg.dim).astype(x.dtype)
+        else:
+            gate = lin(p + "mlp.gate_proj.weight", h)
+            up = lin(p + "mlp.up_proj.weight", h)
+            x = x + lin(p + "mlp.down_proj.weight", _act(cfg, gate).astype(up.dtype) * up)
     x = rms_norm(x, jnp.asarray(weights["model.norm.weight"], jnp.bfloat16), cfg.rms_eps, cfg.norm_offset)
     return (x.astype(jnp.float32) @ jnp.asarray(weights["lm_head.weight"], jnp.float32).T)

@@ -132,6 +132,28 @@ def _ql_field_spec(path) -> P:
     return table[field]
 
 
+def _moe_field_spec(path, leaf) -> P:
+    """Spec for a leaf under a LayerParams.moe subtree.  Expert weights are
+    STACKED (leading n_experts axis, models/transformer.stack_linears): the
+    expert axis is replicated and the per-expert trailing axes shard exactly
+    like the dense MLP — gate/up/gateup column-parallel, down row-parallel.
+    The router is replicated (n_experts outputs don't shard; routing must be
+    identical on every device so all shards run the same experts)."""
+    names = [getattr(k, "name", None) for k in path]
+    field = names[-1]
+    parent = names[-2]
+    if parent == "router":
+        return P(*([None] * leaf.ndim))
+    if field == "codebook":
+        return P(*([None] * leaf.ndim))
+    if field == "bias":  # stacked (E, n)
+        return P(None, MODEL_AXIS) if parent != "down" else P(None, None)
+    # packed/absmax_hi/absmax_lo/w: stacked (E, K-ish, N-ish)
+    if parent == "down":
+        return P(None, MODEL_AXIS, None)
+    return P(None, None, MODEL_AXIS)
+
+
 def param_specs(params: T.ModelParams) -> T.ModelParams:
     """Same-structure pytree of PartitionSpecs for ModelParams."""
 
@@ -139,6 +161,8 @@ def param_specs(params: T.ModelParams) -> T.ModelParams:
         names = [getattr(k, "name", None) for k in path]
         if "embed" in names or "final_norm" in names or names[-1] in ("attn_norm", "mlp_norm"):
             return P(*([None] * leaf.ndim))
+        if "moe" in names:
+            return _moe_field_spec(path, leaf)
         if "lm_head" in names:
             if names[-1] == "lm_head" and leaf.ndim == 2:
                 return P(None, MODEL_AXIS)  # raw bf16 (dim, vocab)
@@ -200,14 +224,30 @@ def _localize_params(params: T.ModelParams, cfg: T.ModelConfig, tp: int) -> T.Mo
     """Rewrite static shape metadata to per-device values (leaves are already
     local inside shard_map)."""
 
+    def loc_moe(moe):
+        if moe is None:
+            return None
+        return dataclasses.replace(
+            moe,
+            gate=None if moe.gate is None else local_view(moe.gate, n_parts=tp),
+            up=None if moe.up is None else local_view(moe.up, n_parts=tp),
+            gateup=None if moe.gateup is None else local_view(moe.gateup, n_parts=tp),
+            down=local_view(moe.down, k_parts=tp),
+        )
+
     def loc_layer(lp: T.LayerParams) -> T.LayerParams:
         if lp.wqkv is not None:
             return dataclasses.replace(
                 lp,
                 wqkv=local_view(lp.wqkv, n_parts=tp),
-                w_gateup=local_view(lp.w_gateup, n_parts=tp),
                 wo=local_view(lp.wo, k_parts=tp),
-                w_down=local_view(lp.w_down, k_parts=tp),
+                moe=loc_moe(lp.moe),
+                **(
+                    dict(w_gateup=local_view(lp.w_gateup, n_parts=tp))
+                    if lp.w_gateup is not None else {}
+                ),
+                **(dict(w_down=local_view(lp.w_down, k_parts=tp))
+                   if lp.w_down is not None else {}),
             )
         return dataclasses.replace(
             lp,
@@ -215,9 +255,12 @@ def _localize_params(params: T.ModelParams, cfg: T.ModelConfig, tp: int) -> T.Mo
             wk=local_view(lp.wk, n_parts=tp),
             wv=local_view(lp.wv, n_parts=tp),
             wo=local_view(lp.wo, k_parts=tp),
-            w_gate=local_view(lp.w_gate, n_parts=tp),
-            w_up=local_view(lp.w_up, n_parts=tp),
-            w_down=local_view(lp.w_down, k_parts=tp),
+            moe=loc_moe(lp.moe),
+            **(dict(w_gate=local_view(lp.w_gate, n_parts=tp),
+                    w_up=local_view(lp.w_up, n_parts=tp))
+               if lp.w_gate is not None else {}),
+            **(dict(w_down=local_view(lp.w_down, k_parts=tp))
+               if lp.w_down is not None else {}),
         )
 
     lm_head = params.lm_head
