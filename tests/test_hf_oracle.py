@@ -62,6 +62,12 @@ FAMILIES = {
         # fused qkv_proj / gate_up_proj checkpoints (split at convert time)
         _small(pad_token_id=0),  # default 32000 exceeds the tiny vocab
     ),
+    "mixtral": (
+        transformers.MixtralConfig, transformers.MixtralForCausalLM,
+        # sparse MoE: 4 experts, 2 per token (softmax -> topk -> renorm) —
+        # validates router semantics + expert dispatch vs HF
+        _small(num_local_experts=4, num_experts_per_tok=2, sliding_window=None),
+    ),
     "llama31_rope": (
         transformers.LlamaConfig, transformers.LlamaForCausalLM,
         # Llama-3.1 long-context RoPE remap; orig ctx 8 < prompt positions so

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.linear import DenseLinear, QuantLinear
-from ..models.transformer import LayerParams, ModelConfig, ModelParams
+from ..models.transformer import LayerParams, ModelConfig, ModelParams, MoEParams
 from .quantize import repack_k_shards
 
 FORMAT_VERSION = 1
@@ -65,6 +65,42 @@ def _ql_to_arrays(prefix: str, q, store: dict) -> dict:
     return dict(kind="quant", n_out=q.n_out, k_in=q.k_in, blocksize=q.blocksize,
                 layout=q.layout, k_shards=q.k_shards, variant=q.variant,
                 codebook=None if q.codebook is None else np.asarray(q.codebook).tolist())
+
+
+def _moe_to_arrays(prefix: str, moe: MoEParams, store: dict) -> dict:
+    """Serialize a stacked-expert MoE block.  Checkpoints store the experts
+    STACKED (one array per field with a leading n_experts axis) — the on-disk
+    layout IS the runtime layout, so load is a plain read; the streaming
+    converter assembles the stack incrementally (convert/hf.py)."""
+    store[f"{prefix}.router.w"] = np.asarray(moe.router.w)
+    if moe.router.bias is not None:
+        store[f"{prefix}.router.bias"] = np.asarray(moe.router.bias)
+    meta = {
+        "kind": "moe",
+        "router": dict(n_out=moe.router.n_out, k_in=moe.router.k_in),
+        "experts": {},
+    }
+    for field in ("gate", "up", "down"):
+        q = getattr(moe, field)
+        m = _ql_to_arrays(f"{prefix}.{field}", q, store)
+        m["row_parallel"] = field == "down"
+        meta["experts"][field] = m
+    return meta
+
+
+def _moe_from_arrays(prefix: str, meta: dict, arrays: dict, tp: int) -> MoEParams:
+    rb = arrays.get(f"{prefix}.router.bias")
+    router = DenseLinear(
+        w=jnp.asarray(arrays[f"{prefix}.router.w"]),
+        bias=None if rb is None else jnp.asarray(rb),
+        n_out=meta["router"]["n_out"],
+        k_in=meta["router"]["k_in"],
+    )
+    kw = {
+        f: _ql_from_arrays(f"{prefix}.{f}", dict(meta["experts"][f]), arrays, tp)
+        for f in ("gate", "up", "down")
+    }
+    return MoEParams(router=router, **kw)
 
 
 def _ql_from_arrays(prefix: str, meta: dict, arrays: dict, tp: int):
@@ -141,10 +177,14 @@ def save_checkpoint(path: str, cfg: ModelConfig, params: ModelParams) -> None:
             f"layers.{i}.mlp_norm": np.asarray(lp.mlp_norm),
         }
         meta: dict = {"kind": "layer", "linears": {}}
-        for f in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+        attn_fields = ("wq", "wk", "wv", "wo")
+        mlp_fields = () if lp.moe is not None else ("w_gate", "w_up", "w_down")
+        for f in attn_fields + mlp_fields:
             m = _ql_to_arrays(f"layers.{i}.{f}", getattr(lp, f), arrays)
             m["row_parallel"] = f in ("wo", "w_down")
             meta["linears"][f] = m
+        if lp.moe is not None:
+            meta["moe"] = _moe_to_arrays(f"layers.{i}.moe", lp.moe, arrays)
         put(f"layers.{i}", arrays, meta)
     lm = params.lm_head
     if isinstance(lm, QuantLinear):
@@ -180,11 +220,13 @@ def load_checkpoint(path: str, tp: int = 1, fuse: bool = False) -> tuple[ModelCo
     layers = []
     for i in range(cfg.n_layers):
         a = arrs(f"layers.{i}")
-        meta = manifest["tensors"][f"layers.{i}"]["linears"]
+        tmeta = manifest["tensors"][f"layers.{i}"]
+        meta = tmeta["linears"]
         kw = {}
-        for f in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
-            m = dict(meta[f])
-            kw[f] = _ql_from_arrays(f"layers.{i}.{f}", m, a, tp)
+        for f in meta:
+            kw[f] = _ql_from_arrays(f"layers.{i}.{f}", dict(meta[f]), a, tp)
+        if "moe" in tmeta:
+            kw["moe"] = _moe_from_arrays(f"layers.{i}.moe", tmeta["moe"], a, tp)
         layers.append(LayerParams(
             attn_norm=jnp.asarray(a[f"layers.{i}.attn_norm"]),
             mlp_norm=jnp.asarray(a[f"layers.{i}.mlp_norm"]),

@@ -20,7 +20,7 @@ from collections.abc import Iterator
 import numpy as np
 
 from ..models.linear import DenseLinear, QuantLinear, dense_linear
-from ..models.transformer import LayerParams, ModelConfig, ModelParams
+from ..models.transformer import LayerParams, ModelConfig, ModelParams, MoEParams, stack_linears
 from ..ops import format as fmt
 from .checkpoint import save_checkpoint
 from .quantize import quantize_pack_pairk, quantize_pack_pairk_lut, quantize_pack_sharded
@@ -60,6 +60,10 @@ def config_from_hf(model_dir: str, **overrides) -> ModelConfig:
     if hf.get("model_type", "").startswith("gemma"):
         kw["norm_offset"] = True
         kw["embed_scale"] = True
+    # Mixtral family: sparse-MoE MLP (HF MixtralConfig)
+    if hf.get("num_local_experts"):
+        kw["n_experts"] = int(hf["num_local_experts"])
+        kw["experts_per_tok"] = int(hf.get("num_experts_per_tok", 2))
     rs = hf.get("rope_scaling")
     if rs:
         rt = rs.get("rope_type", rs.get("type"))
@@ -179,6 +183,20 @@ def quantize_hf_weights(
     for i in range(cfg.n_layers):
         p = f"model.layers.{i}."
         _split_fused_layer(cfg, tensors, p)  # Phi-3 qkv_proj/gate_up_proj
+        if cfg.n_experts:
+            ep = p + "block_sparse_moe.experts."
+            mlp = dict(moe=MoEParams(
+                router=dense_linear(_to_f32(tensors[p + "block_sparse_moe.gate.weight"])),
+                gate=stack_linears([ql(f"{ep}{m}.w1") for m in range(cfg.n_experts)]),
+                up=stack_linears([ql(f"{ep}{m}.w3") for m in range(cfg.n_experts)]),
+                down=stack_linears([ql(f"{ep}{m}.w2") for m in range(cfg.n_experts)]),
+            ))
+        else:
+            mlp = dict(
+                w_gate=ql(p + "mlp.gate_proj"),
+                w_up=ql(p + "mlp.up_proj"),
+                w_down=ql(p + "mlp.down_proj"),
+            )
         layers.append(LayerParams(
             attn_norm=norm(p + "input_layernorm.weight"),
             wq=ql(p + "self_attn.q_proj"),
@@ -186,9 +204,7 @@ def quantize_hf_weights(
             wv=ql(p + "self_attn.v_proj"),
             wo=ql(p + "self_attn.o_proj"),
             mlp_norm=norm(p + "post_attention_layernorm.weight"),
-            w_gate=ql(p + "mlp.gate_proj"),
-            w_up=ql(p + "mlp.up_proj"),
-            w_down=ql(p + "mlp.down_proj"),
+            **mlp,
         ))
     lm_name = "lm_head.weight" if "lm_head.weight" in tensors else "model.embed_tokens.weight"
     if quantize_lm_head:
@@ -386,6 +402,12 @@ def convert_hf_model(
                   "codes exactly (no requantization)")
 
     def group_of(key: str) -> str:
+        if ".block_sparse_moe.experts." in key:
+            # each Mixtral expert is its own streaming group: its raw floats
+            # are quantized and FREED on arrival; only packed bytes are held
+            # until the layer's stack is complete
+            parts = key.split(".")
+            return f"layers.{parts[2]}.experts.{parts[5]}"
         if key.startswith("model.layers."):
             return "layers." + key.split(".")[2]
         if key == "model.embed_tokens.weight":
@@ -406,6 +428,80 @@ def convert_hf_model(
 
     writer = CheckpointWriter(out_dir, cfg)
 
+    def quant_or_dense(t: dict, stem: str):
+        """One linear from streamed tensors: stored-bnb exact import, fresh
+        quantization, or dense (ignore-listed) — shared by attention linears
+        and MoE experts."""
+        q = None if is_ignored(stem) else _bnb_stored_linear(t, stem)
+        if q is None:
+            w = t.get(stem + ".weight")
+            bias = t.get(stem + ".bias")
+            if is_ignored(stem):
+                if any(f"{stem}{_BNB_META}{qt}" in t for qt in ("fp4", "nf4")):
+                    # --ignore on a bnb-quantized layer: the checkpoint has no
+                    # full-precision weights; dequantize its stored state
+                    w, bias = _bnb_dense_weight(t, stem)
+                q = _np_dense_linear(w, bias)
+            else:
+                q = _np_quant_linear(cfg, w, bias)
+        return q
+
+    # --- Mixtral expert assembly: experts stream as their own groups (raw
+    # floats freed on quantize), the stacked layer npz is written when the
+    # attention group and all n_experts expert groups have arrived ---
+    from collections import defaultdict as _dd
+    import dataclasses as _dc
+
+    expert_parts: dict[int, dict[int, dict]] = _dd(dict)
+    layer_hold: dict[int, tuple] = {}
+
+    def _np_stack_linears(linears):
+        q0 = linears[0]
+
+        def st(f):
+            v = getattr(q0, f)
+            return None if v is None else np.stack([np.asarray(getattr(l, f)) for l in linears])
+
+        if isinstance(q0, DenseLinear):
+            assert all(isinstance(l, DenseLinear) for l in linears), \
+                "all experts of a layer must share quantization (check --ignore)"
+            return _dc.replace(q0, w=st("w"), bias=st("bias"))
+        assert all(
+            isinstance(l, QuantLinear) and l.variant == q0.variant and l.layout == q0.layout
+            for l in linears
+        ), "all experts of a layer must share quantization (check --ignore)"
+        return _dc.replace(
+            q0, packed=st("packed"), absmax_hi=st("absmax_hi"),
+            absmax_lo=st("absmax_lo"), bias=st("bias"), codebook=st("codebook"),
+        )
+
+    def flush_expert(i: int, m: int, t: dict[str, np.ndarray]) -> None:
+        ep = f"model.layers.{i}.block_sparse_moe.experts.{m}."
+        # HF Mixtral expert naming: w1 = gate, w3 = up, w2 = down
+        expert_parts[i][m] = {
+            field: quant_or_dense(t, ep + wname)
+            for field, wname in (("gate", "w1"), ("up", "w3"), ("down", "w2"))
+        }
+        maybe_write_moe_layer(i)
+
+    def maybe_write_moe_layer(i: int) -> None:
+        if i not in layer_hold or len(expert_parts[i]) != cfg.n_experts:
+            return
+        arrays, meta, router = layer_hold.pop(i)
+        parts = expert_parts.pop(i)
+        moe = MoEParams(
+            router=router,
+            gate=_np_stack_linears([parts[m]["gate"] for m in range(cfg.n_experts)]),
+            up=_np_stack_linears([parts[m]["up"] for m in range(cfg.n_experts)]),
+            down=_np_stack_linears([parts[m]["down"] for m in range(cfg.n_experts)]),
+        )
+        from .checkpoint import _moe_to_arrays
+
+        meta["moe"] = _moe_to_arrays(f"layers.{i}.moe", moe, arrays)
+        writer.put(f"layers.{i}", arrays, meta)
+        if verbose:
+            print(f"  assembled layers.{i} ({cfg.n_experts} experts)", flush=True)
+
     def flush_layer(i: int, t: dict[str, np.ndarray]) -> None:
         p = f"model.layers.{i}."
         _split_fused_layer(cfg, t, p)  # Phi-3 qkv_proj/gate_up_proj
@@ -414,24 +510,21 @@ def convert_hf_model(
             f"layers.{i}.mlp_norm": _np_bf16(t[p + "post_attention_layernorm.weight"]),
         }
         meta: dict = {"kind": "layer", "linears": {}}
-        for f, suffix in _LINEAR_FIELDS.items():
-            q = None if is_ignored(p + suffix) else _bnb_stored_linear(t, p + suffix)
-            if q is None:
-                w = t[p + suffix + ".weight"]
-                bias = t.get(p + suffix + ".bias")
-                if is_ignored(p + suffix):
-                    if any(f"{p}{suffix}{_BNB_META}{qt}" in t for qt in ("fp4", "nf4")):
-                        # --ignore on a bnb-quantized layer: the checkpoint
-                        # has no full-precision weights; dequantize its
-                        # stored state to bf16 instead
-                        w, bias = _bnb_dense_weight(t, p + suffix)
-                    q = _np_dense_linear(w, bias)
-                else:
-                    q = _np_quant_linear(cfg, w, bias)
+        fields = dict(_LINEAR_FIELDS)
+        if cfg.n_experts:
+            for f in ("w_gate", "w_up", "w_down"):
+                fields.pop(f)
+        for f, suffix in fields.items():
+            q = quant_or_dense(t, p + suffix)
             m = _ql_to_arrays(f"layers.{i}.{f}", q, arrays)
             m["row_parallel"] = f in _ROW_PARALLEL
             meta["linears"][f] = m
-        writer.put(f"layers.{i}", arrays, meta)
+        if cfg.n_experts:
+            router = _np_dense_linear(t[p + "block_sparse_moe.gate.weight"], None)
+            layer_hold[i] = (arrays, meta, router)
+            maybe_write_moe_layer(i)
+        else:
+            writer.put(f"layers.{i}", arrays, meta)
 
     def flush_lm_head(w: np.ndarray, bias: np.ndarray | None, src_name: str = "lm_head") -> None:
         # the ignore-list matches the SOURCE tensor name (so a tied lm_head
@@ -469,6 +562,9 @@ def convert_hf_model(
         elif group == "lm_head":
             flush_lm_head(t["lm_head.weight"], t.get("lm_head.bias"),
                           src_name="lm_head")
+        elif ".experts." in group:
+            _, i, _, m = group.split(".")
+            flush_expert(int(i), int(m), t)
         elif group.startswith("layers."):
             flush_layer(int(group.split(".")[1]), t)
         pending_bytes -= sum(a.nbytes for a in t.values())
