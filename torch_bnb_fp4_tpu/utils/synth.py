@@ -67,6 +67,25 @@ def synth_params(cfg: ModelConfig, *, quantized: bool = True, seed: int = 0, tp:
     layers = []
     for i in range(cfg.n_layers):
         ks = jax.random.split(keys[i], 7)
+        if cfg.n_experts:
+            from ..models.transformer import MoEParams, stack_linears
+
+            eks = jax.random.split(ks[4], 3 * cfg.n_experts + 1)
+            mlp = dict(moe=MoEParams(
+                router=synth_dense_linear(eks[-1], cfg.n_experts, cfg.dim, scale=1.0),
+                gate=stack_linears([lin(eks[3 * m], cfg.ffn_dim, cfg.dim)
+                                    for m in range(cfg.n_experts)]),
+                up=stack_linears([lin(eks[3 * m + 1], cfg.ffn_dim, cfg.dim)
+                                  for m in range(cfg.n_experts)]),
+                down=stack_linears([lin(eks[3 * m + 2], cfg.dim, cfg.ffn_dim, k_shards=tp)
+                                    for m in range(cfg.n_experts)]),
+            ))
+        else:
+            mlp = dict(
+                w_gate=lin(ks[4], cfg.ffn_dim, cfg.dim),
+                w_up=lin(ks[5], cfg.ffn_dim, cfg.dim),
+                w_down=lin(ks[6], cfg.dim, cfg.ffn_dim, k_shards=tp),
+            )
         layers.append(LayerParams(
             attn_norm=jnp.ones((cfg.dim,), jnp.bfloat16),
             wq=lin(ks[0], cfg.dim, cfg.dim),
@@ -74,9 +93,7 @@ def synth_params(cfg: ModelConfig, *, quantized: bool = True, seed: int = 0, tp:
             wv=lin(ks[2], kv_dim, cfg.dim),
             wo=lin(ks[3], cfg.dim, cfg.dim, k_shards=tp),
             mlp_norm=jnp.ones((cfg.dim,), jnp.bfloat16),
-            w_gate=lin(ks[4], cfg.ffn_dim, cfg.dim),
-            w_up=lin(ks[5], cfg.ffn_dim, cfg.dim),
-            w_down=lin(ks[6], cfg.dim, cfg.ffn_dim, k_shards=tp),
+            **mlp,
         ))
     ek, lk = jax.random.split(keys[-1])
     embed = (jax.random.normal(ek, (cfg.vocab_size, cfg.dim), jnp.float32) * 0.01).astype(jnp.bfloat16)
