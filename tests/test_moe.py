@@ -265,3 +265,55 @@ def test_engine_serves_moe(qparams):
             qparams, CFG, jnp.asarray([r.prompt], jnp.int32), max_new_tokens=r.max_new_tokens
         ))[0].tolist()
         assert res[r.uid].tokens == want, r.uid
+
+
+# -- zero-copy expert kernel --------------------------------------------------
+
+
+def test_expert_kernel_matches_materialized_view():
+    """apply_expert_linear (scalar-prefetch expert index inside the Pallas
+    grid) is BIT-identical to materializing the expert (expert_view) and
+    running apply_linear — GEMV and GEMM shapes, static and traced indices,
+    fp4 and nf4-lut codebooks."""
+    from torch_bnb_fp4_tpu.models import quantize_linear
+    from torch_bnb_fp4_tpu.models.linear import apply_expert_linear
+
+    rng = np.random.default_rng(0)
+    E, N, K = 4, 256, 1024
+    for qt in ("fp4", "nf4"):
+        qs = [
+            quantize_linear(
+                rng.standard_normal((N, K)).astype(np.float32) * 0.02,
+                rng.standard_normal(N).astype(np.float32) * 0.01 if qt == "fp4" else None,
+                quant_type=qt,
+            )
+            for _ in range(E)
+        ]
+        sq = stack_linears(qs)
+        for m in (1, 24):
+            x = jnp.asarray(rng.standard_normal((m, K)) * 0.05, jnp.bfloat16)
+            for e in (0, E - 1):
+                ref = np.asarray(expert_view(sq, e)(x))
+                got = np.asarray(apply_expert_linear(sq, e, x))
+                got_tr = np.asarray(
+                    jax.jit(lambda s, i, xx: apply_expert_linear(s, i, xx))(sq, jnp.int32(e), x)
+                )
+                assert np.array_equal(ref, got), (qt, m, e)
+                assert np.array_equal(ref, got_tr), (qt, m, e, "traced")
+
+
+@pytest.mark.slow
+def test_expert_kernel_w4a8_path():
+    """M >= 512 engages the int8-MXU m-inner kernel; the expert wrapper must
+    stay bit-identical to the materialized path there too."""
+    from torch_bnb_fp4_tpu.models import quantize_linear
+    from torch_bnb_fp4_tpu.models.linear import apply_expert_linear
+
+    rng = np.random.default_rng(1)
+    qs = [quantize_linear(rng.standard_normal((128, 1024)).astype(np.float32) * 0.02)
+          for _ in range(2)]
+    sq = stack_linears(qs)
+    x = jnp.asarray(rng.standard_normal((512, 1024)) * 0.05, jnp.bfloat16)
+    ref = np.asarray(expert_view(sq, 1)(x))
+    got = np.asarray(apply_expert_linear(sq, jnp.int32(1), x))
+    assert np.array_equal(ref, got)

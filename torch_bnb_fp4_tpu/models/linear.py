@@ -321,6 +321,60 @@ def apply_linear(q: QuantLinear, x: jax.Array, *, block_m: int = 256, out_dtype=
     return out.reshape(*lead, q.n_out)
 
 
+def apply_expert_linear(
+    sq: QuantLinear,
+    e,
+    x: jax.Array,
+    *,
+    block_m: int = 256,
+    out_dtype=None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Forward through expert ``e`` of a STACKED pairk QuantLinear (leading
+    expert axis on every leaf, models/transformer.stack_linears) WITHOUT
+    materializing that expert's weights: the index rides scalar prefetch into
+    the kernel's BlockSpec index maps, so only the selected expert's packed
+    tiles are DMA'd (a ``dynamic_index`` + apply_linear would first copy the
+    whole expert — ~42 MB for a Mixtral expert — through HBM, since XLA can't
+    fuse a slice into a Pallas operand).  ``e`` may be traced (decode
+    dispatch) or a python int (static all-experts loop)."""
+    if sq.layout != "pairk":
+        raise ValueError("apply_expert_linear requires the pairk layout")
+    if sq.packed.ndim != 3:
+        raise ValueError(
+            f"apply_expert_linear needs a stacked (E, K/2, N) packing, got {sq.packed.shape}"
+        )
+    *lead, k = x.shape
+    if k != sq.k_in:
+        raise ValueError(
+            f"input feature dim {k} does not match layer k_in={sq.k_in} "
+            f"(x.shape={x.shape}, layer {sq.n_out}x{sq.k_in})"
+        )
+    m = int(np.prod(lead)) if lead else 1
+    if m == 0:
+        return jnp.zeros((*lead, sq.n_out), dtype=x.dtype)
+    x2 = x.reshape(m, k)
+    if k != sq.k_pad:
+        x2 = jnp.pad(x2, ((0, 0), (0, sq.k_pad - k)))
+    bias = None
+    if sq.bias is not None:  # (E, n): the per-expert row is tiny — slice it
+        bias = jax.lax.dynamic_index_in_dim(sq.bias, e, 0, keepdims=False)
+        if sq.n_pad != sq.n_out:
+            bias = jnp.pad(bias, (0, sq.n_pad - sq.n_out))
+    cb = None
+    if sq.variant == "lut":
+        cb = sq.codebook[0] if sq.codebook.ndim == 2 else sq.codebook
+    kw = dict(block_m=8, block_n=8192) if m == 1 else dict(block_m=block_m)
+    out = K.matmul_fp4_pk(
+        x2, sq.packed, sq.absmax_hi, bias, cb, blocksize=sq.blocksize,
+        out_dtype=out_dtype, interpret=interpret, variant=sq.variant,
+        expert=e, **kw,
+    )
+    if sq.n_pad != sq.n_out:
+        out = out[:, : sq.n_out]
+    return out.reshape(*lead, sq.n_out)
+
+
 def fuse_linears(linears: list[QuantLinear], tp: int = 1) -> QuantLinear:
     """Fuse same-input pairk linears into ONE kernel call (column concat).
 

@@ -371,6 +371,18 @@ def _attention_dense(
     return out.reshape(b, lq, hq, d).astype(q.dtype)
 
 
+def _apply_expert(stacked, e, x, **kw):
+    """One expert of a stacked linear applied to ``x``: quantized pairk
+    stacks go through the zero-copy scalar-prefetch kernel (the expert index
+    selects tiles inside the Pallas grid — no HBM materialization of the
+    expert's weights); dense stacks (oracle/baseline models) slice a view."""
+    from .linear import QuantLinear, apply_expert_linear
+
+    if isinstance(stacked, QuantLinear) and stacked.layout == "pairk":
+        return apply_expert_linear(stacked, e, x, **kw)
+    return expert_view(stacked, e)(x, **kw)
+
+
 def _expert_ffn(moe: MoEParams, cfg: ModelConfig, e, x: jax.Array) -> jax.Array:
     """SwiGLU of ONE expert (selected by ``e``, traced or static) on rows
     ``x`` (T, dim) -> f32 (T, dim) — same op order as the dense MLP branch of
@@ -378,13 +390,13 @@ def _expert_ffn(moe: MoEParams, cfg: ModelConfig, e, x: jax.Array) -> jax.Array:
     the result is a row-parallel PARTIAL (caller psums once for the whole
     weighted expert sum, preserving the 2-collectives-per-layer pattern)."""
     if moe.gateup is not None:
-        gu = expert_view(moe.gateup, e)(x)
+        gu = _apply_expert(moe.gateup, e, x)
         gate, up = jnp.split(gu, 2, axis=-1)
     else:
-        gate = expert_view(moe.gate, e)(x)
-        up = expert_view(moe.up, e)(x)
+        gate = _apply_expert(moe.gate, e, x)
+        up = _apply_expert(moe.up, e, x)
     h = _act(cfg, gate).astype(up.dtype) * up
-    return expert_view(moe.down, e)(h, out_dtype=jnp.float32)
+    return _apply_expert(moe.down, e, h, out_dtype=jnp.float32)
 
 
 def moe_forward(

@@ -742,6 +742,24 @@ def _matmul_pk_w4a8_kernel(tab_ref, x_ref, p_ref, s_ref, bias_ref, out_ref, acc_
         out_ref[:] = res.astype(out_dtype)
 
 
+def _expertify(kern_fn):
+    """Wrap a pair-K kernel so it runs against ONE expert of a stacked weight.
+
+    The expert index arrives via scalar prefetch: the BlockSpec index_maps
+    use it as the leading coordinate of the stacked ``packed``/``scale``
+    operands, so only the selected expert's tiles are ever DMA'd — the MoE
+    decode path reads exactly its active experts' bytes, with no
+    ``dynamic_slice`` materialization of a 3-matrix expert copy in HBM
+    (XLA cannot fuse a slice into a Pallas operand).  The wrapped kernel
+    sees (1, ...) blocks and unwraps the leading dim with ``.at[0]``."""
+
+    def wrapped(e_ref, tab_ref, x_ref, p_ref, s_ref, bias_ref, *rest, **kw):
+        del e_ref  # consumed by the index maps
+        kern_fn(tab_ref, x_ref, p_ref.at[0], s_ref.at[0], bias_ref, *rest, **kw)
+
+    return wrapped
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("blocksize", "out_dtype", "block_m", "block_k", "block_n", "interpret", "variant", "a8"),
@@ -761,6 +779,7 @@ def matmul_fp4_pk(
     interpret: bool | None = None,
     variant: str,
     a8: bool | None = None,
+    expert: jax.Array | int | None = None,
 ) -> jax.Array:
     """Fused pair-K dequant-matmul: y[M, N] = x[M, K] @ Wt[K, N] (+ bias).
 
@@ -796,17 +815,23 @@ def matmul_fp4_pk(
         raise ValueError("codebook is only used with variant='lut'")
     if interpret is None:
         interpret = _interpret_default()
-    if packed.ndim != 2 or packed.dtype != jnp.uint8:
-        raise ValueError(f"packed must be 2-D uint8 (K/2, N), got {packed.shape} {packed.dtype}")
-    kp, n = packed.shape
+    if expert is None:
+        if packed.ndim != 2 or packed.dtype != jnp.uint8:
+            raise ValueError(f"packed must be 2-D uint8 (K/2, N), got {packed.shape} {packed.dtype}")
+    else:
+        if packed.ndim != 3 or packed.dtype != jnp.uint8:
+            raise ValueError(
+                f"expert selection needs STACKED 3-D uint8 packed (E, K/2, N), got {packed.shape} {packed.dtype}"
+            )
+    kp, n = packed.shape[-2:]
     k = 2 * kp
     if x.ndim != 2 or x.shape[1] != k:
         raise ValueError(f"x must be (M, K={k}) for packed (K/2={kp}, N={n}), got {x.shape}")
     m = x.shape[0]
-    if scale.shape != (k // blocksize, n):
+    want_scale = (k // blocksize, n) if expert is None else (packed.shape[0], k // blocksize, n)
+    if scale.shape != want_scale:
         raise ValueError(
-            f"scale must be (K/blocksize, N) = {(k // blocksize, n)} for blocksize={blocksize}, "
-            f"got {scale.shape}"
+            f"scale must be {want_scale} for blocksize={blocksize}, got {scale.shape}"
         )
     if scale.dtype not in (jnp.float32, jnp.bfloat16):
         raise ValueError(f"scale must be float32 or bfloat16, got {scale.dtype}")
@@ -899,23 +924,46 @@ def matmul_fp4_pk(
                 pltpu.VMEM((nm * block_m, block_n), jnp.float32),
                 pltpu.VMEM((block_k, block_n), jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32),
             ]
-        out = pl.pallas_call(
-            kern,
-            grid=(n // block_n, nk, nm),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # decode table (1, 128)
-                pl.BlockSpec((block_m, block_k), lambda j, kk, mi: (mi, kk), memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_k // 2, block_n), lambda j, kk, mi: (kk, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_k // blocksize, block_n), lambda j, kk, mi: (kk, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_n), lambda j, kk, mi: (0, j), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((block_m, block_n), lambda j, kk, mi: (mi, j), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
-            scratch_shapes=scratches,
-            cost_estimate=cost,
-            compiler_params=cparams,
-            interpret=interpret,
-        )(tab, x, packed, scale, bias)
+        if expert is None:
+            out = pl.pallas_call(
+                kern,
+                grid=(n // block_n, nk, nm),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # decode table (1, 128)
+                    pl.BlockSpec((block_m, block_k), lambda j, kk, mi: (mi, kk), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((block_k // 2, block_n), lambda j, kk, mi: (kk, j), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((block_k // blocksize, block_n), lambda j, kk, mi: (kk, j), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, block_n), lambda j, kk, mi: (0, j), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((block_m, block_n), lambda j, kk, mi: (mi, j), memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+                scratch_shapes=scratches,
+                cost_estimate=cost,
+                compiler_params=cparams,
+                interpret=interpret,
+            )(tab, x, packed, scale, bias)
+        else:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n // block_n, nk, nm),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # decode table (1, 128)
+                    pl.BlockSpec((block_m, block_k), lambda j, kk, mi, e: (mi, kk)),
+                    pl.BlockSpec((1, block_k // 2, block_n), lambda j, kk, mi, e: (e[0], kk, j)),
+                    pl.BlockSpec((1, block_k // blocksize, block_n), lambda j, kk, mi, e: (e[0], kk, j)),
+                    pl.BlockSpec((1, block_n), lambda j, kk, mi, e: (0, j)),
+                ],
+                out_specs=pl.BlockSpec((block_m, block_n), lambda j, kk, mi, e: (mi, j)),
+                scratch_shapes=scratches,
+            )
+            out = pl.pallas_call(
+                _expertify(kern),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+                cost_estimate=cost,
+                compiler_params=cparams,
+                interpret=interpret,
+            )(jnp.asarray(expert, jnp.int32).reshape(1), tab, x, packed, scale, bias)
         return out[:m]
 
     # m-outer path: block_k is free of the scale-tile quantum (the scale
@@ -935,30 +983,59 @@ def matmul_fp4_pk(
         has_bias=has_bias,
         variant=variant,
     )
-    out = pl.pallas_call(
-        kern,
-        grid=(nm, n // block_n, nk),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # decode table (1, 128)
-            pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k // 2, block_n), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (s_rows, block_n),
-                lambda i, j, kk, sblk=sblk, s_rows=s_rows: (kk * sblk // s_rows, j),
-                memory_space=pltpu.VMEM,
+    if expert is None:
+        out = pl.pallas_call(
+            kern,
+            grid=(nm, n // block_n, nk),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # decode table (1, 128)
+                pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_k // 2, block_n), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (s_rows, block_n),
+                    lambda i, j, kk, sblk=sblk, s_rows=s_rows: (kk * sblk // s_rows, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+            scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+            cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 2**20,
             ),
-            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
-        cost_estimate=cost,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 2**20,
-        ),
-        interpret=interpret,
-    )(tab, x, packed, scale, bias)
+            interpret=interpret,
+        )(tab, x, packed, scale, bias)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nm, n // block_n, nk),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # decode table (1, 128)
+                pl.BlockSpec((block_m, block_k), lambda i, j, kk, e: (i, kk)),
+                pl.BlockSpec((1, block_k // 2, block_n), lambda i, j, kk, e: (e[0], kk, j)),
+                pl.BlockSpec(
+                    (1, s_rows, block_n),
+                    lambda i, j, kk, e, sblk=sblk, s_rows=s_rows: (e[0], kk * sblk // s_rows, j),
+                ),
+                pl.BlockSpec((1, block_n), lambda i, j, kk, e: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk, e: (i, j)),
+            scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        )
+        out = pl.pallas_call(
+            _expertify(kern),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+            cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 2**20,
+            ),
+            interpret=interpret,
+        )(jnp.asarray(expert, jnp.int32).reshape(1), tab, x, packed, scale, bias)
     return out[:m]
 
 
