@@ -106,6 +106,75 @@ class DenseLinear:
         return y.astype(out_dtype if out_dtype is not None else x.dtype)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LoRALinear:
+    """A low-rank adapter riding a (usually quantized) base linear:
+    ``y = base(x) + scale * (x @ a) @ b`` — QLoRA-style serving, the flagship
+    use of bnb 4-bit bases (the reference ecosystem's raison d'être; the
+    reference library itself stops at the plain linear).  The base stays
+    packed FP4 — adapters are hot-attachable without touching base bytes —
+    and the delta is two skinny MXU matmuls (rank r is 8-64; their FLOPs and
+    HBM traffic are ~r/k_in of the base's, <2% at practical ranks).
+
+    Under TP: column-parallel targets replicate ``a`` and shard ``b``'s
+    output dim; row-parallel targets shard ``a``'s INPUT dim (each device's
+    x-shard multiplies its A rows, so the delta partial-sums through the SAME
+    psum as the base partial) and replicate ``b`` (parallel/tp.py).
+    """
+
+    base: Any  # QuantLinear | DenseLinear
+    a: jax.Array  # (k_in, r)
+    b: jax.Array  # (r, n_out)
+    scale: float = dataclasses.field(metadata=dict(static=True))  # alpha / r
+
+    @property
+    def n_out(self) -> int:
+        return self.base.n_out
+
+    @property
+    def k_in(self) -> int:
+        return self.base.k_in
+
+    @property
+    def bias(self):
+        return self.base.bias
+
+    @property
+    def rank(self) -> int:
+        return self.a.shape[-1]
+
+    def __call__(self, x: jax.Array, out_dtype=None, **kw) -> jax.Array:
+        y = self.base(x, out_dtype=jnp.float32, **kw)
+        # delta in the activation dtype on the MXU, accumulated in f32
+        d = jnp.dot(
+            jnp.dot(x, self.a.astype(x.dtype)), self.b.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        y = y + jnp.float32(self.scale) * d
+        return y.astype(out_dtype if out_dtype is not None else x.dtype)
+
+
+def lora_linear(base, a: np.ndarray, b: np.ndarray, *, alpha: float, dtype=jnp.bfloat16) -> LoRALinear:
+    """Wrap ``base`` with a PEFT-convention adapter: ``a`` is lora_A (r, k_in)
+    and ``b`` is lora_B (n_out, r) in torch (out, in) orientation; scaling is
+    alpha / r."""
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    r = a.shape[0]
+    if a.shape != (r, base.k_in) or b.shape != (base.n_out, r):
+        raise ValueError(
+            f"adapter shapes lora_A {a.shape} / lora_B {b.shape} do not match "
+            f"base {base.n_out}x{base.k_in}"
+        )
+    return LoRALinear(
+        base=base,
+        a=jnp.asarray(a.T, dtype),
+        b=jnp.asarray(b.T, dtype),
+        scale=float(alpha) / r,
+    )
+
+
 def dense_linear(w: np.ndarray, bias: np.ndarray | None = None, dtype=jnp.bfloat16) -> DenseLinear:
     """Build a DenseLinear from a torch-convention (n_out, k_in) weight."""
     w = np.asarray(w, np.float32)
@@ -226,6 +295,10 @@ def local_view(q: QuantLinear, *, n_parts: int = 1, k_parts: int = 1) -> QuantLi
     """
     assert q.n_out % n_parts == 0, (q.n_out, n_parts)
     assert q.k_in % k_parts == 0, (q.k_in, k_parts)
+    if isinstance(q, LoRALinear):
+        # a/b leaves are already local inside shard_map; only the base's
+        # static metadata needs rewriting
+        return dataclasses.replace(q, base=local_view(q.base, n_parts=n_parts, k_parts=k_parts))
     if isinstance(q, DenseLinear):
         return dataclasses.replace(q, n_out=q.n_out // n_parts, k_in=q.k_in // k_parts)
     if q.layout == "pairk":

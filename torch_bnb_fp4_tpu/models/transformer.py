@@ -540,6 +540,10 @@ def _split_bias(q: QuantLinear, axis_name: str | None):
     """Row-parallel layers must add bias AFTER the psum (once, not per shard)."""
     if axis_name is None or q.bias is None:
         return q, None
+    from .linear import LoRALinear
+
+    if isinstance(q, LoRALinear):  # bias lives on the base
+        return dataclasses.replace(q, base=dataclasses.replace(q.base, bias=None)), q.bias
     return dataclasses.replace(q, bias=None), q.bias
 
 

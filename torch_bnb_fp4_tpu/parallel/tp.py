@@ -128,6 +128,16 @@ def _ql_field_spec(path) -> P:
     names = [getattr(k, "name", None) for k in path]
     field = names[-1]
     parent = names[-2] if len(names) >= 2 else None
+    if parent == "base":  # LoRALinear wraps the target; the TARGET name decides
+        parent = names[-3]
+    if field in ("a", "b"):
+        # LoRA factors (models/linear.LoRALinear): column-parallel targets
+        # replicate a / shard b's output dim; row-parallel targets shard a's
+        # input dim (delta partials ride the base's psum) / replicate b
+        row = parent in _ROW_PARALLEL
+        if field == "a":
+            return P(MODEL_AXIS, None) if row else P(None, None)
+        return P(None, None) if row else P(None, MODEL_AXIS)
     table = _ROW if parent in _ROW_PARALLEL else _COL
     return table[field]
 

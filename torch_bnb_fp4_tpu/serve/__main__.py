@@ -45,6 +45,13 @@ def main() -> None:
                          " after the data axis takes process count)")
     ap.add_argument("--kv-dtype", default="bfloat16",
                     choices=["bfloat16", "float8_e4m3fn"])
+    ap.add_argument("--lora", default=None, metavar="DIR",
+                    help="HF PEFT LoRA adapter dir to serve over the base "
+                         "(exact low-rank delta; base bytes untouched)")
+    ap.add_argument("--lora-merge", action="store_true",
+                    help="fold the --lora adapter into the base weights and "
+                         "requantize (zero runtime overhead, FP4 envelope on "
+                         "the delta)")
     ap.add_argument("--tokenizer", default=None, metavar="DIR",
                     help="local HF tokenizer dir: enables {'text': ...} "
                          "prompts and decoded 'text' in completions")
@@ -81,6 +88,15 @@ def main() -> None:
         cfg = ModelConfig.tiny_test(n_layers=2)
         params = quantize_params(cfg, T.random_weights(cfg, seed=0))
         logging.info("no --ckpt: serving a tiny random-weight model")
+
+    if args.lora:
+        from ..models import attach_lora, load_peft_adapter, merge_lora
+
+        adapter = load_peft_adapter(args.lora)
+        params = (merge_lora if args.lora_merge else attach_lora)(params, cfg, adapter)
+        logging.info("%s LoRA adapter %s (r=%d, alpha=%g, %d modules)",
+                     "merged" if args.lora_merge else "attached", args.lora,
+                     adapter.r, adapter.alpha, len(adapter.weights))
 
     if args.multihost:
         validate_tp(cfg, n_model)
