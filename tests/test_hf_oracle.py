@@ -57,6 +57,16 @@ FAMILIES = {
         _small(head_dim=64, tie_word_embeddings=True,
                hidden_activation="gelu_pytorch_tanh"),
     ),
+    "gemma2": (
+        transformers.Gemma2Config, transformers.Gemma2ForCausalLM,
+        # post-norms, attn+final logit softcaps, ALTERNATING sliding(4)/global
+        # attention (layer 0 sliding, layer 1 global — both live at prompt
+        # len 8), decoupled attention scale (32 != head_dim 64)
+        _small(head_dim=64, tie_word_embeddings=True,
+               hidden_activation="gelu_pytorch_tanh", sliding_window=4,
+               query_pre_attn_scalar=32.0, attn_logit_softcapping=50.0,
+               final_logit_softcapping=30.0),
+    ),
     "phi3": (
         transformers.Phi3Config, transformers.Phi3ForCausalLM,
         # fused qkv_proj / gate_up_proj checkpoints (split at convert time)

@@ -176,6 +176,9 @@ def save_checkpoint(path: str, cfg: ModelConfig, params: ModelParams) -> None:
             f"layers.{i}.attn_norm": np.asarray(lp.attn_norm),
             f"layers.{i}.mlp_norm": np.asarray(lp.mlp_norm),
         }
+        if lp.post_attn_norm is not None:  # Gemma-2 post-norms
+            arrays[f"layers.{i}.post_attn_norm"] = np.asarray(lp.post_attn_norm)
+            arrays[f"layers.{i}.post_mlp_norm"] = np.asarray(lp.post_mlp_norm)
         meta: dict = {"kind": "layer", "linears": {}}
         attn_fields = ("wq", "wk", "wv", "wo")
         mlp_fields = () if lp.moe is not None else ("w_gate", "w_up", "w_down")
@@ -227,6 +230,9 @@ def load_checkpoint(path: str, tp: int = 1, fuse: bool = False) -> tuple[ModelCo
             kw[f] = _ql_from_arrays(f"layers.{i}.{f}", dict(meta[f]), a, tp)
         if "moe" in tmeta:
             kw["moe"] = _moe_from_arrays(f"layers.{i}.moe", tmeta["moe"], a, tp)
+        if f"layers.{i}.post_attn_norm" in a:  # Gemma-2 post-norms
+            kw["post_attn_norm"] = jnp.asarray(a[f"layers.{i}.post_attn_norm"])
+            kw["post_mlp_norm"] = jnp.asarray(a[f"layers.{i}.post_mlp_norm"])
         layers.append(LayerParams(
             attn_norm=jnp.asarray(a[f"layers.{i}.attn_norm"]),
             mlp_norm=jnp.asarray(a[f"layers.{i}.mlp_norm"]),

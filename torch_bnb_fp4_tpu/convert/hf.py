@@ -60,6 +60,17 @@ def config_from_hf(model_dir: str, **overrides) -> ModelConfig:
     if hf.get("model_type", "").startswith("gemma"):
         kw["norm_offset"] = True
         kw["embed_scale"] = True
+    if hf.get("model_type") == "gemma2":
+        # Gemma-2: post-norms, logit softcaps, alternating sliding/global
+        # attention, decoupled attention scale
+        kw["post_norms"] = True
+        kw["alt_sliding"] = hf.get("sliding_window") is not None
+        if hf.get("attn_logit_softcapping") is not None:
+            kw["attn_logit_softcap"] = float(hf["attn_logit_softcapping"])
+        if hf.get("final_logit_softcapping") is not None:
+            kw["final_logit_softcap"] = float(hf["final_logit_softcapping"])
+        if hf.get("query_pre_attn_scalar") is not None:
+            kw["query_pre_attn_scalar"] = float(hf["query_pre_attn_scalar"])
     # Mixtral family: sparse-MoE MLP (HF MixtralConfig)
     if hf.get("num_local_experts"):
         kw["n_experts"] = int(hf["num_local_experts"])
@@ -179,6 +190,9 @@ def quantize_hf_weights(
     def norm(name: str):
         return jnp.asarray(_to_f32(tensors[name]), jnp.bfloat16)
 
+    from ..models.transformer import norm_names
+
+    an, mn, pan, pmn = norm_names(cfg)
     layers = []
     for i in range(cfg.n_layers):
         p = f"model.layers.{i}."
@@ -197,13 +211,16 @@ def quantize_hf_weights(
                 w_up=ql(p + "mlp.up_proj"),
                 w_down=ql(p + "mlp.down_proj"),
             )
+        if pan is not None:
+            mlp.update(post_attn_norm=norm(p + pan + ".weight"),
+                       post_mlp_norm=norm(p + pmn + ".weight"))
         layers.append(LayerParams(
-            attn_norm=norm(p + "input_layernorm.weight"),
+            attn_norm=norm(p + an + ".weight"),
             wq=ql(p + "self_attn.q_proj"),
             wk=ql(p + "self_attn.k_proj"),
             wv=ql(p + "self_attn.v_proj"),
             wo=ql(p + "self_attn.o_proj"),
-            mlp_norm=norm(p + "post_attention_layernorm.weight"),
+            mlp_norm=norm(p + mn + ".weight"),
             **mlp,
         ))
     lm_name = "lm_head.weight" if "lm_head.weight" in tensors else "model.embed_tokens.weight"
@@ -503,12 +520,18 @@ def convert_hf_model(
             print(f"  assembled layers.{i} ({cfg.n_experts} experts)", flush=True)
 
     def flush_layer(i: int, t: dict[str, np.ndarray]) -> None:
+        from ..models.transformer import norm_names
+
+        an, mn, pan, pmn = norm_names(cfg)
         p = f"model.layers.{i}."
         _split_fused_layer(cfg, t, p)  # Phi-3 qkv_proj/gate_up_proj
         arrays = {
-            f"layers.{i}.attn_norm": _np_bf16(t[p + "input_layernorm.weight"]),
-            f"layers.{i}.mlp_norm": _np_bf16(t[p + "post_attention_layernorm.weight"]),
+            f"layers.{i}.attn_norm": _np_bf16(t[p + an + ".weight"]),
+            f"layers.{i}.mlp_norm": _np_bf16(t[p + mn + ".weight"]),
         }
+        if pan is not None:
+            arrays[f"layers.{i}.post_attn_norm"] = _np_bf16(t[p + pan + ".weight"])
+            arrays[f"layers.{i}.post_mlp_norm"] = _np_bf16(t[p + pmn + ".weight"])
         meta: dict = {"kind": "layer", "linears": {}}
         fields = dict(_LINEAR_FIELDS)
         if cfg.n_experts:

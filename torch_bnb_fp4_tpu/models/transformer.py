@@ -78,6 +78,29 @@ class ModelConfig:
     # 0 = dense MLP (every non-Mixtral family).
     n_experts: int = 0
     experts_per_tok: int = 2
+    # Gemma-2 family knobs (HF Gemma2 conventions):
+    #   post_norms         extra RMSNorms on the attention and MLP OUTPUTS
+    #                      (4 norms/layer; HF post_attention_layernorm is the
+    #                      post-ATTN one, pre/post_feedforward_layernorm wrap
+    #                      the MLP)
+    #   attn_logit_softcap logits <- cap * tanh(logits / cap) before masking
+    #   final_logit_softcap  same on the lm_head logits
+    #   query_pre_attn_scalar  attention scale = 1/sqrt(this) instead of
+    #                      1/sqrt(head_dim) (gemma-2-27b: 144 != 128)
+    #   alt_sliding        sliding_window applies on EVEN layers only; odd
+    #                      layers attend globally
+    post_norms: bool = False
+    attn_logit_softcap: float | None = None
+    final_logit_softcap: float | None = None
+    query_pre_attn_scalar: float | None = None
+    alt_sliding: bool = False
+
+    def layer_sliding_window(self, i: int) -> int | None:
+        """Per-layer sliding window: Gemma-2 alternates sliding (even i) and
+        global (odd i) layers; every other family is uniform."""
+        if self.alt_sliding and i % 2:
+            return None
+        return self.sliding_window
 
     def __post_init__(self):
         if self.head_dim is None:
@@ -148,6 +171,19 @@ class ModelConfig:
             vocab_size=256000, dim=3072, n_layers=28, n_heads=16, n_kv_heads=16,
             ffn_dim=24576, rms_eps=1e-6, head_dim=256, hidden_act="gelu_tanh",
             norm_offset=True, embed_scale=True,
+        )
+
+    @classmethod
+    def gemma2_9b(cls) -> "ModelConfig":
+        # Gemma-2-9B: post-norms, logit softcaps, alternating 4k sliding /
+        # global attention, GeGLU, (1+w) norms, scaled embeddings, tied head
+        return cls(
+            vocab_size=256000, dim=3584, n_layers=42, n_heads=16, n_kv_heads=8,
+            ffn_dim=14336, rms_eps=1e-6, head_dim=256, hidden_act="gelu_tanh",
+            norm_offset=True, embed_scale=True, post_norms=True,
+            sliding_window=4096, alt_sliding=True,
+            attn_logit_softcap=50.0, final_logit_softcap=30.0,
+            query_pre_attn_scalar=256.0,
         )
 
     @classmethod
@@ -229,6 +265,9 @@ class LayerParams:
     w_gateup: Any = None
     # mixture-of-experts MLP (Mixtral): replaces w_gate/w_up/w_down
     moe: Any = None
+    # Gemma-2 post-norms on the attention / MLP outputs (cfg.post_norms)
+    post_attn_norm: Any = None
+    post_mlp_norm: Any = None
 
 
 @jax.tree_util.register_dataclass
@@ -325,6 +364,8 @@ def _attention(
     kv_valid: jax.Array,  # (B, Lk) bool: cache slot holds a real token
     kv_positions: jax.Array,  # (Lk,) absolute position of each cache slot
     sliding_window: int | None,
+    scale: float | None = None,  # None = 1/sqrt(head_dim)
+    logit_softcap: float | None = None,
 ) -> jax.Array:
     """Causal GQA attention.  Long prefills are chunked over the QUERY axis
     (exact — each query row's softmax is independent) so the logits tensor
@@ -337,10 +378,11 @@ def _attention(
             c1 = min(c0 + _ATTN_QUERY_CHUNK, lq)
             outs.append(_attention_dense(
                 q[:, c0:c1], k, v, q_positions[:, c0:c1], kv_valid,
-                kv_positions, sliding_window,
+                kv_positions, sliding_window, scale, logit_softcap,
             ))
         return jnp.concatenate(outs, axis=1)
-    return _attention_dense(q, k, v, q_positions, kv_valid, kv_positions, sliding_window)
+    return _attention_dense(q, k, v, q_positions, kv_valid, kv_positions,
+                            sliding_window, scale, logit_softcap)
 
 
 def _attention_dense(
@@ -351,6 +393,8 @@ def _attention_dense(
     kv_valid: jax.Array,
     kv_positions: jax.Array,
     sliding_window: int | None,
+    scale: float | None = None,
+    logit_softcap: float | None = None,
 ) -> jax.Array:
     b, lq, hq, d = q.shape
     hk = k.shape[2]
@@ -358,7 +402,11 @@ def _attention_dense(
     qf = q.reshape(b, lq, hk, group, d).astype(jnp.float32)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
-    logits = jnp.einsum("blhgd,bshd->bhgls", qf, kf) / np.sqrt(d)
+    logits = jnp.einsum("blhgd,bshd->bhgls", qf, kf) * (
+        1.0 / np.sqrt(d) if scale is None else scale
+    )
+    if logit_softcap is not None:  # Gemma-2: cap * tanh(logits / cap)
+        logits = logit_softcap * jnp.tanh(logits / logit_softcap)
     # causal + validity (+ sliding window) mask
     qpos = q_positions[:, None, None, :, None]  # (B,1,1,Lq,1)
     kpos = kv_positions[None, None, None, None, :]  # (1,1,1,1,Lk)
@@ -369,6 +417,12 @@ def _attention_dense(
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhgls,bshd->blhgd", probs, vf)
     return out.reshape(b, lq, hq, d).astype(q.dtype)
+
+
+def _attn_scale(cfg: ModelConfig) -> float | None:
+    if cfg.query_pre_attn_scalar is not None:
+        return 1.0 / np.sqrt(cfg.query_pre_attn_scalar)
+    return None
 
 
 def _apply_expert(stacked, e, x, **kw):
@@ -469,6 +523,7 @@ def _layer_forward(
     kv_positions: jax.Array,  # (max_len,)
     kv_valid: jax.Array,  # (B, max_len)
     axis_name: str | None = None,  # TP mesh axis; lp then holds LOCAL shards
+    layer_idx: int = 0,  # selects the per-layer sliding window (Gemma-2)
 ):
     """One decoder block.  When ``axis_name`` is set (tensor parallelism via
     shard_map, see parallel/tp.py), ``lp``'s linears are local views —
@@ -517,13 +572,18 @@ def _layer_forward(
     upd = jax.vmap(lambda c, u, s: jax.lax.dynamic_update_slice_in_dim(c, u, s, axis=0))
     k_cache = upd(k_cache, k.astype(k_cache.dtype), cache_len)
     v_cache = upd(v_cache, v.astype(v_cache.dtype), cache_len)
-    attn = _attention(q, k_cache, v_cache, positions, kv_valid, kv_positions, cfg.sliding_window)
+    attn = _attention(
+        q, k_cache, v_cache, positions, kv_valid, kv_positions,
+        cfg.layer_sliding_window(layer_idx), _attn_scale(cfg), cfg.attn_logit_softcap,
+    )
     wo, wo_bias = _split_bias(lp.wo, axis_name)
-    x = x + _reduce(_row_parallel(wo, attn.reshape(b, l, n_heads * cfg.head_dim)), wo_bias)
+    y = _reduce(_row_parallel(wo, attn.reshape(b, l, n_heads * cfg.head_dim)), wo_bias)
+    if lp.post_attn_norm is not None:  # Gemma-2: norm the attention OUTPUT
+        y = rms_norm(y, lp.post_attn_norm, cfg.rms_eps, cfg.norm_offset)
+    x = x + y
     h = rms_norm(x, lp.mlp_norm, cfg.rms_eps, cfg.norm_offset)
     if lp.moe is not None:
-        y = moe_forward(lp.moe, cfg, h, axis_name=axis_name)  # f32 (partial)
-        x = x + _reduce(y, None)
+        y = _reduce(moe_forward(lp.moe, cfg, h, axis_name=axis_name), None)
     else:
         if lp.w_gateup is not None:
             gu = lp.w_gateup(h)
@@ -532,7 +592,10 @@ def _layer_forward(
             gate = lp.w_gate(h)
             up = lp.w_up(h)
         wd, wd_bias = _split_bias(lp.w_down, axis_name)
-        x = x + _reduce(_row_parallel(wd, _act(cfg, gate).astype(up.dtype) * up), wd_bias)
+        y = _reduce(_row_parallel(wd, _act(cfg, gate).astype(up.dtype) * up), wd_bias)
+    if lp.post_mlp_norm is not None:
+        y = rms_norm(y, lp.post_mlp_norm, cfg.rms_eps, cfg.norm_offset)
+    x = x + y
     return x, k_cache, v_cache
 
 
@@ -579,7 +642,7 @@ def forward(
     for i, lp in enumerate(params.layers):
         x, kc, vc = _layer_forward(
             lp, cfg, x, positions, cache.k[i], cache.v[i], cache.length,
-            kv_positions, kv_valid,
+            kv_positions, kv_valid, layer_idx=i,
         )
         ks.append(kc)
         vs.append(vc)
@@ -595,6 +658,8 @@ def forward(
         logits = params.lm_head(x, out_dtype=jnp.float32)
     else:
         logits = (x.astype(jnp.float32) @ params.lm_head.astype(jnp.float32))
+    if cfg.final_logit_softcap is not None:
+        logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
     return logits, KVCache(k=ks, v=vs, length=new_len)
 
 
@@ -652,6 +717,17 @@ def generate(
 # ---------------------------------------------------------------------------
 # Parameter construction
 # ---------------------------------------------------------------------------
+
+def norm_names(cfg: ModelConfig) -> tuple[str, str, str | None, str | None]:
+    """HF checkpoint names for (attn_norm, mlp_norm, post_attn_norm,
+    post_mlp_norm).  NB the Gemma-2 trap: its ``post_attention_layernorm``
+    really is the post-ATTENTION norm, while in every Llama-family model the
+    same name is the PRE-MLP norm."""
+    if cfg.post_norms:
+        return ("input_layernorm", "pre_feedforward_layernorm",
+                "post_attention_layernorm", "post_feedforward_layernorm")
+    return ("input_layernorm", "post_attention_layernorm", None, None)
+
 
 def _ql(w: np.ndarray, cfg: ModelConfig, bias: np.ndarray | None = None) -> QuantLinear:
     return quantize_linear(w, bias, blocksize=cfg.blocksize, quant_type=cfg.quant_type,
@@ -715,13 +791,19 @@ def quantize_params(cfg: ModelConfig, weights: dict[str, np.ndarray], fuse: bool
                 w_up=q("mlp.up_proj"),
                 w_down=q("mlp.down_proj"),
             )
+        an, mn, pan, pmn = norm_names(cfg)
+        if pan is not None:
+            mlp.update(
+                post_attn_norm=jnp.asarray(weights[p + pan + ".weight"], jnp.bfloat16),
+                post_mlp_norm=jnp.asarray(weights[p + pmn + ".weight"], jnp.bfloat16),
+            )
         layers.append(LayerParams(
-            attn_norm=jnp.asarray(weights[p + "input_layernorm.weight"], jnp.bfloat16),
+            attn_norm=jnp.asarray(weights[p + an + ".weight"], jnp.bfloat16),
             wq=q("self_attn.q_proj"),
             wk=q("self_attn.k_proj"),
             wv=q("self_attn.v_proj"),
             wo=q("self_attn.o_proj"),
-            mlp_norm=jnp.asarray(weights[p + "post_attention_layernorm.weight"], jnp.bfloat16),
+            mlp_norm=jnp.asarray(weights[p + mn + ".weight"], jnp.bfloat16),
             **mlp,
         ))
     embed = jnp.asarray(weights["model.embed_tokens.weight"], jnp.bfloat16)
@@ -766,13 +848,19 @@ def dense_params(cfg: ModelConfig, weights: dict[str, np.ndarray], dtype=jnp.bfl
                 w_up=dl(p + "mlp.up_proj"),
                 w_down=dl(p + "mlp.down_proj"),
             )
+        an, mn, pan, pmn = norm_names(cfg)
+        if pan is not None:
+            mlp.update(
+                post_attn_norm=jnp.asarray(weights[p + pan + ".weight"], dtype),
+                post_mlp_norm=jnp.asarray(weights[p + pmn + ".weight"], dtype),
+            )
         layers.append(LayerParams(
-            attn_norm=jnp.asarray(weights[p + "input_layernorm.weight"], dtype),
+            attn_norm=jnp.asarray(weights[p + an + ".weight"], dtype),
             wq=dl(p + "self_attn.q_proj"),
             wk=dl(p + "self_attn.k_proj"),
             wv=dl(p + "self_attn.v_proj"),
             wo=dl(p + "self_attn.o_proj"),
-            mlp_norm=jnp.asarray(weights[p + "post_attention_layernorm.weight"], dtype),
+            mlp_norm=jnp.asarray(weights[p + mn + ".weight"], dtype),
             **mlp,
         ))
     lm_w = weights.get("lm_head.weight")
@@ -801,8 +889,9 @@ def random_weights(cfg: ModelConfig, seed: int = 0, scale: float = 0.02) -> dict
     kv_dim = cfg.n_kv_heads * cfg.head_dim
     for i in range(cfg.n_layers):
         p = f"model.layers.{i}."
-        out[p + "input_layernorm.weight"] = np.ones(cfg.dim, np.float32)
-        out[p + "post_attention_layernorm.weight"] = np.ones(cfg.dim, np.float32)
+        for nname in norm_names(cfg):
+            if nname is not None:
+                out[p + nname + ".weight"] = np.ones(cfg.dim, np.float32)
         out[p + "self_attn.q_proj.weight"] = w(cfg.q_dim, cfg.dim)
         out[p + "self_attn.k_proj.weight"] = w(kv_dim, cfg.dim)
         out[p + "self_attn.v_proj.weight"] = w(kv_dim, cfg.dim)
@@ -842,17 +931,28 @@ def reference_forward(cfg: ModelConfig, weights: dict[str, np.ndarray], tokens: 
     positions = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32), (b, l))
     kv_positions = jnp.arange(l, dtype=jnp.int32)
     kv_valid = jnp.ones((b, l), bool)
+    an, mn, pan, pmn = norm_names(cfg)
     for i in range(cfg.n_layers):
         p = f"model.layers.{i}."
-        h = rms_norm(x, jnp.asarray(weights[p + "input_layernorm.weight"], jnp.bfloat16), cfg.rms_eps, cfg.norm_offset)
+
+        def nrm(y, name):
+            return rms_norm(y, jnp.asarray(weights[p + name + ".weight"], jnp.bfloat16),
+                            cfg.rms_eps, cfg.norm_offset)
+
+        h = nrm(x, an)
         q = lin(p + "self_attn.q_proj.weight", h).reshape(b, l, cfg.n_heads, cfg.head_dim)
         k = lin(p + "self_attn.k_proj.weight", h).reshape(b, l, cfg.n_kv_heads, cfg.head_dim)
         v = lin(p + "self_attn.v_proj.weight", h).reshape(b, l, cfg.n_kv_heads, cfg.head_dim)
         q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
         k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
-        attn = _attention(q, k, v, positions, kv_valid, kv_positions, cfg.sliding_window)
-        x = x + lin(p + "self_attn.o_proj.weight", attn.reshape(b, l, cfg.q_dim))
-        h = rms_norm(x, jnp.asarray(weights[p + "post_attention_layernorm.weight"], jnp.bfloat16), cfg.rms_eps, cfg.norm_offset)
+        attn = _attention(q, k, v, positions, kv_valid, kv_positions,
+                          cfg.layer_sliding_window(i), _attn_scale(cfg),
+                          cfg.attn_logit_softcap)
+        y = lin(p + "self_attn.o_proj.weight", attn.reshape(b, l, cfg.q_dim))
+        if pan is not None:
+            y = nrm(y, pan)
+        x = x + y
+        h = nrm(x, mn)
         if cfg.n_experts:
             hf = h.reshape(b * l, cfg.dim)
             rl = (hf.astype(jnp.float32)
@@ -872,6 +972,12 @@ def reference_forward(cfg: ModelConfig, weights: dict[str, np.ndarray], tokens: 
         else:
             gate = lin(p + "mlp.gate_proj.weight", h)
             up = lin(p + "mlp.up_proj.weight", h)
-            x = x + lin(p + "mlp.down_proj.weight", _act(cfg, gate).astype(up.dtype) * up)
+            y = lin(p + "mlp.down_proj.weight", _act(cfg, gate).astype(up.dtype) * up)
+            if pmn is not None:
+                y = nrm(y, pmn)
+            x = x + y
     x = rms_norm(x, jnp.asarray(weights["model.norm.weight"], jnp.bfloat16), cfg.rms_eps, cfg.norm_offset)
-    return (x.astype(jnp.float32) @ jnp.asarray(weights["lm_head.weight"], jnp.float32).T)
+    logits = x.astype(jnp.float32) @ jnp.asarray(weights["lm_head.weight"], jnp.float32).T
+    if cfg.final_logit_softcap is not None:
+        logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
+    return logits

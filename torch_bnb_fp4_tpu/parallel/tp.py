@@ -169,7 +169,9 @@ def param_specs(params: T.ModelParams) -> T.ModelParams:
 
     def spec(path, leaf):
         names = [getattr(k, "name", None) for k in path]
-        if "embed" in names or "final_norm" in names or names[-1] in ("attn_norm", "mlp_norm"):
+        if "embed" in names or "final_norm" in names or names[-1] in (
+            "attn_norm", "mlp_norm", "post_attn_norm", "post_mlp_norm"
+        ):
             return P(*([None] * leaf.ndim))
         if "moe" in names:
             return _moe_field_spec(path, leaf)
@@ -292,6 +294,8 @@ def _tp_body(params, tokens, cache, last_index, cfg: T.ModelConfig, tp: int):
     max_len = cache.max_len
     positions = cache.length[:, None] + jnp.arange(l, dtype=jnp.int32)[None, :]
     x = params.embed[tokens].astype(jnp.bfloat16)
+    if cfg.embed_scale:  # Gemma: sqrt(dim) in bf16, matching models.forward
+        x = x * jnp.asarray(cfg.dim**0.5, jnp.bfloat16)
     kv_positions = jnp.arange(max_len, dtype=jnp.int32)
     new_len = cache.length + l  # (b_loc,)
     kv_valid = kv_positions[None, :] < new_len[:, None]
@@ -299,17 +303,19 @@ def _tp_body(params, tokens, cache, last_index, cfg: T.ModelConfig, tp: int):
     for i, lp in enumerate(params.layers):
         x, kc, vc = T._layer_forward(
             lp, cfg, x, positions, cache.k[i], cache.v[i], cache.length,
-            kv_positions, kv_valid, axis_name=MODEL_AXIS,
+            kv_positions, kv_valid, axis_name=MODEL_AXIS, layer_idx=i,
         )
         ks.append(kc)
         vs.append(vc)
-    x = T.rms_norm(x, params.final_norm, cfg.rms_eps)
+    x = T.rms_norm(x, params.final_norm, cfg.rms_eps, cfg.norm_offset)
     if last_index is not None:
         x = jax.lax.dynamic_slice_in_dim(x, last_index, 1, axis=1)
     if isinstance(params.lm_head, (QuantLinear, DenseLinear)):
         logits = params.lm_head(x, out_dtype=jnp.float32)
     else:
         logits = x.astype(jnp.float32) @ params.lm_head.astype(jnp.float32)
+    if cfg.final_logit_softcap is not None:  # elementwise: vocab-sharding safe
+        logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
     return logits, T.KVCache(k=ks, v=vs, length=new_len)
 
 
