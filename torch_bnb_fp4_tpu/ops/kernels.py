@@ -799,10 +799,12 @@ def matmul_fp4_pk(
     operands requantized to int8, exact int32 dots on the MXU's 2x-rate
     path, f32 rescale (see _matmul_pk_w4a8_kernel).  None = auto: on for
     bf16 compute at M >= 512 with an FP4-family variant — measured
-    (benchmarks/w4a8_bench.py): M=2048 245 TFLOP/s = 1.32x XLA dense bf16
-    with mean-abs-error 1.007x the bf16 path's; False forces the bf16 path
-    (bit-stable vs batch size), True forces int8 (requires bf16 compute,
-    non-lut variant).
+    (benchmarks/w4a8_bench.py, two sessions): M=2048 242-245 TFLOP/s =
+    1.23-1.32x XLA dense bf16, M=1024 209 TF/s = 1.07x dense, M=512 a
+    noise-band tie with the bf16 fused path (three interleaved A/Bs:
+    win/lose/tie), all at mean-abs-error 1.006x the bf16 path's; False
+    forces the bf16 path (bit-stable vs batch size), True forces int8
+    (requires bf16 compute, non-lut variant).
     """
     if variant == "lut":
         if codebook is None:
@@ -885,10 +887,11 @@ def matmul_fp4_pk(
     )
     if a8 is None:
         # auto: the int8 path wins where the GEMM is MXU-bound — measured
-        # (benchmarks/w4a8_bench.py, 4096x14336): M=2048 a8 981us = 245
-        # TFLOP/s = 1.32x XLA dense bf16 (bf16 fused path: 0.89x), M=512
-        # a8 beats the bf16 fused path, M=256 loses to it (requant pass not
-        # yet amortized) -> threshold 512
+        # (benchmarks/w4a8_bench.py, 4096x14336): M=2048 a8 981-995us =
+        # 242-245 TFLOP/s = 1.23-1.32x XLA dense bf16 (bf16 fused path:
+        # 0.89x), M=1024 1.07x dense, M=512 ties the bf16 fused path
+        # (cross-session median), M=256 loses to it (requant pass not yet
+        # amortized) -> threshold 512
         a8 = m >= 512 and compute_dtype == jnp.bfloat16 and variant != "lut"
     elif a8:
         if compute_dtype != jnp.bfloat16:
@@ -899,8 +902,16 @@ def matmul_fp4_pk(
     # m-innermost when several M blocks share the weights: decode once per
     # weight tile.  Needs a full-M f32 accumulator stripe in VMEM.
     if nm > 1 and nm * block_m * block_n * 4 <= 48 * 2**20:
-        if auto_bk:  # deeper K blocks amortize per-tile decode (measured ~2%)
-            block_k = _k_block_pairk(k, 1024, blocksize, sq)
+        if auto_bk:
+            # deeper K blocks amortize per-tile decode (bf16 path: 1024
+            # measured ~2% over 512).  The a8 path prefers 2048: its
+            # decode+requant pass is costlier per tile, and bk=2048/bn=2048
+            # ranked ~10% over bk=1024 in two independent sessions
+            # (benchmarks/w4a8_sweep.py M=2048: 921 vs >=995us;
+            # w4a8_validate.py: 956 vs 1085us; single-session deltas under
+            # ~13% are chip noise, so only the cross-session consensus moved
+            # this default).
+            block_k = _k_block_pairk(k, 2048 if a8 else 1024, blocksize, sq)
             nk = k // block_k
         if a8:
             kern = functools.partial(
