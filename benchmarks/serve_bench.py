@@ -63,12 +63,15 @@ def main():
 
 
 
-def jitter(model="mistral7b", chunk=0):
+def jitter(model="mistral7b", chunks=(0,)):
     """Decode-tick latency distribution UNDER ADMISSION LOAD (VERDICT r2
     next #4 'done' criterion): p50/p99 per-decoded-token tick latency while
     long prompts are being admitted mid-stream, chunked vs unchunked.
+    Several chunk settings run in one process (params built once) so the
+    numbers share one tunnel session; raw loaded tick times are printed so
+    one tunnel hiccup cannot masquerade as a structural p99.
 
-    Run: python benchmarks/serve_bench.py jitter [model] [chunk]"""
+    Run: python benchmarks/serve_bench.py jitter [model] [chunk ...]"""
     import dataclasses
 
     from torch_bnb_fp4_tpu.serve import Engine, EngineConfig, Request
@@ -77,37 +80,38 @@ def jitter(model="mistral7b", chunk=0):
     cfg = dataclasses.replace(cfg, quantize_lm_head=True)
     params = synth_params(cfg, quantized=True, seed=0, fuse=True)
     jax.block_until_ready(params)
-    rng = np.random.default_rng(0)
-    ecfg = EngineConfig(max_batch=4, max_len=1536, inner_steps=4,
-                        prefill_chunk=chunk, admit_budget=0 if chunk else 1)
-    eng = Engine(params, cfg, ecfg)
-    print(f"warmup (chunk={chunk})...", file=sys.stderr, flush=True)
-    t0 = time.perf_counter()
-    eng.warmup(prompt_lens=[8, 1024])
-    print(f"warmup done in {time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
-    prompt = lambda n: rng.integers(1, cfg.vocab_size, n).tolist()
-    # steady decode on 3 slots...
-    for u in range(3):
-        eng.submit(Request(uid=u, prompt=prompt(8), max_new_tokens=256))
-    for _ in range(8):
-        eng.step()
-    eng.step_times.clear()
-    base_t0 = len(eng.step_times)
-    for _ in range(24):
-        eng.step()
-    quiet = np.asarray(eng.step_times)
-    # ...then admit 1024-token prompts mid-stream
-    eng.step_times.clear()
-    uid = 100
-    for burst in range(3):
-        eng.submit(Request(uid=uid, prompt=prompt(1024), max_new_tokens=8)); uid += 1
-        for _ in range(10):
+    for chunk in chunks:
+        rng = np.random.default_rng(0)
+        ecfg = EngineConfig(max_batch=4, max_len=1536, inner_steps=4,
+                            prefill_chunk=chunk, admit_budget=0 if chunk else 1)
+        eng = Engine(params, cfg, ecfg)
+        print(f"warmup (chunk={chunk})...", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        eng.warmup(prompt_lens=[8, 1024])
+        print(f"warmup done in {time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
+        prompt = lambda n: rng.integers(1, cfg.vocab_size, n).tolist()
+        # steady decode on 3 slots...
+        for u in range(3):
+            eng.submit(Request(uid=u, prompt=prompt(8), max_new_tokens=256))
+        for _ in range(8):
             eng.step()
-    loaded = np.asarray(eng.step_times)
-    p = lambda a, q: float(np.percentile(a, q) * 1e3)
-    print(f"{model} chunk={chunk}: quiet  p50 {p(quiet,50):6.1f} ms/tok  p99 {p(quiet,99):6.1f}")
-    print(f"{model} chunk={chunk}: loaded p50 {p(loaded,50):6.1f} ms/tok  p99 {p(loaded,99):6.1f}  "
-          f"p99/p50 {np.percentile(loaded,99)/np.percentile(loaded,50):.2f}", flush=True)
+        eng.step_times.clear()
+        for _ in range(24):
+            eng.step()
+        quiet = np.asarray(eng.step_times)
+        # ...then admit 1024-token prompts mid-stream
+        eng.step_times.clear()
+        uid = 100
+        for burst in range(3):
+            eng.submit(Request(uid=uid, prompt=prompt(1024), max_new_tokens=8)); uid += 1
+            for _ in range(10):
+                eng.step()
+        loaded = np.asarray(eng.step_times)
+        p = lambda a, q: float(np.percentile(a, q) * 1e3)
+        print(f"{model} chunk={chunk}: quiet  p50 {p(quiet,50):6.1f} ms/tok  p99 {p(quiet,99):6.1f}")
+        print(f"{model} chunk={chunk}: loaded p50 {p(loaded,50):6.1f} ms/tok  p99 {p(loaded,99):6.1f}  "
+              f"p99/p50 {np.percentile(loaded,99)/np.percentile(loaded,50):.2f}", flush=True)
+        print(f"  loaded ticks (ms/tok): {np.sort(np.round(loaded*1e3,1))[::-1][:12]}", flush=True)
 
 
 def prefix(model="mistral7b", sys_len=1024):
@@ -216,7 +220,7 @@ if __name__ == "__main__":
         sys.exit(0)
     if len(sys.argv) > 1 and sys.argv[1] == "jitter":
         jitter(sys.argv[2] if len(sys.argv) > 2 else "mistral7b",
-               int(sys.argv[3]) if len(sys.argv) > 3 else 0)
+               tuple(int(a) for a in sys.argv[3:]) or (0,))
         sys.exit(0)
     if len(sys.argv) > 1 and sys.argv[1] == "prefix":
         prefix(sys.argv[2] if len(sys.argv) > 2 else "mistral7b",

@@ -252,6 +252,13 @@ class Engine:
         # traces[kind] += 1 every time a program is (re)traced; warmup() +
         # tests assert no mid-serving compile after warmup
         self.traces = {"decode": 0, "prefill": 0, "fork": 0}
+        # device-resident (mask, temp, top_p) per batch bucket: these only
+        # change when the active-slot set or a slot's sampling params change
+        # (admit/retire/compact), so re-uploading them every tick is 3 wasted
+        # host->device transfers per decode step — on a tunnelled/remote
+        # device each costs ~an RTT
+        self._dev_slots: dict[int, tuple] = {}
+        self._slots_dirty = True
 
         if not (0.0 < ecfg.top_p <= 1.0):
             raise ValueError(f"top_p must be in (0, 1], got {ecfg.top_p}")
@@ -573,6 +580,7 @@ class Engine:
             self.slot_cur[dst] = self.slot_cur[hi]
             self.slot_temp[dst] = self.slot_temp[hi]
             self.slot_tp[dst] = self.slot_tp[hi]
+            self._slots_dirty = True
             log.debug("compact slot %d -> %d", hi, dst)
 
     def _resolve_sampling(self, req: Request, slot: int) -> tuple[jax.Array, jax.Array]:
@@ -582,6 +590,7 @@ class Engine:
         p = self.ecfg.top_p if req.top_p is None else req.top_p
         self.slot_temp[slot] = t
         self.slot_tp[slot] = p
+        self._slots_dirty = True
         return jnp.asarray([t], jnp.float32), jnp.asarray([p], jnp.float32)
 
     def _admit_chunked(self) -> None:
@@ -898,6 +907,7 @@ class Engine:
         self.slot_req[slot] = None
         self.slot_tokens[slot] = []
         self.slot_lps[slot] = []
+        self._slots_dirty = True
 
     def step(self) -> int:
         """One engine tick: admit pending requests, run one batched decode
@@ -953,6 +963,18 @@ class Engine:
         tokens = jnp.asarray(self.slot_cur[:bp].astype(np.int32))
         mask = np.zeros(bp, bool)
         mask[active] = True
+        # (mask, temp, top_p) change only on admit/retire/compact: serve the
+        # device copies from the per-bucket cache between those events
+        if self._slots_dirty:
+            self._dev_slots.clear()
+            self._slots_dirty = False
+        if bp not in self._dev_slots:
+            self._dev_slots[bp] = (
+                jnp.asarray(mask),
+                jnp.asarray(self.slot_temp[:bp]),
+                jnp.asarray(self.slot_tp[:bp]),
+            )
+        mask_d, temp_d, tp_d = self._dev_slots[bp]
 
         lps = None  # per-token logprobs from the plain decode path only
         k = self.ecfg.spec_tokens
@@ -970,7 +992,7 @@ class Engine:
                 hist[i, : len(seq)] = seq
                 hlen[i] = len(seq)
             toks3, cnts, self.cache = self._spec(
-                self.params, tokens, self.cache, jnp.asarray(mask),
+                self.params, tokens, self.cache, mask_d,
                 jnp.asarray(hist), jnp.asarray(hlen), s=s,
             )
             toks3 = self._host_fetch(toks3)
@@ -988,8 +1010,8 @@ class Engine:
             self._steps += s
         else:
             (toks, lps), self.cache = self._decode(
-                self.params, tokens, self.cache, jnp.asarray(mask), self._next_key(),
-                jnp.asarray(self.slot_temp[:bp]), jnp.asarray(self.slot_tp[:bp]), n=n,
+                self.params, tokens, self.cache, mask_d, self._next_key(),
+                temp_d, tp_d, n=n,
             )
             toks = self._host_fetch(toks)  # device sync: tick latency includes it
             if lps is not None:
