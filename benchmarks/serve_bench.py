@@ -63,7 +63,7 @@ def main():
 
 
 
-def jitter(model="mistral7b", chunks=(0,)):
+def jitter(model="mistral7b", chunks=(0,), prompt_len=1024):
     """Decode-tick latency distribution UNDER ADMISSION LOAD (VERDICT r2
     next #4 'done' criterion): p50/p99 per-decoded-token tick latency while
     long prompts are being admitted mid-stream, chunked vs unchunked.
@@ -82,12 +82,12 @@ def jitter(model="mistral7b", chunks=(0,)):
     jax.block_until_ready(params)
     for chunk in chunks:
         rng = np.random.default_rng(0)
-        ecfg = EngineConfig(max_batch=4, max_len=1536, inner_steps=4,
+        ecfg = EngineConfig(max_batch=4, max_len=prompt_len + 512, inner_steps=4,
                             prefill_chunk=chunk, admit_budget=0 if chunk else 1)
         eng = Engine(params, cfg, ecfg)
         print(f"warmup (chunk={chunk})...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
-        eng.warmup(prompt_lens=[8, 1024])
+        eng.warmup(prompt_lens=[8, prompt_len])
         print(f"warmup done in {time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
         prompt = lambda n: rng.integers(1, cfg.vocab_size, n).tolist()
         # steady decode on 3 slots...
@@ -103,7 +103,7 @@ def jitter(model="mistral7b", chunks=(0,)):
         eng.step_times.clear()
         uid = 100
         for burst in range(3):
-            eng.submit(Request(uid=uid, prompt=prompt(1024), max_new_tokens=8)); uid += 1
+            eng.submit(Request(uid=uid, prompt=prompt(prompt_len), max_new_tokens=8)); uid += 1
             for _ in range(10):
                 eng.step()
         loaded = np.asarray(eng.step_times)
@@ -219,8 +219,10 @@ if __name__ == "__main__":
              int(sys.argv[3]) if len(sys.argv) > 3 else 256)
         sys.exit(0)
     if len(sys.argv) > 1 and sys.argv[1] == "jitter":
+        # jitter [model] [prompt_len] [chunk ...]
         jitter(sys.argv[2] if len(sys.argv) > 2 else "mistral7b",
-               tuple(int(a) for a in sys.argv[3:]) or (0,))
+               tuple(int(a) for a in sys.argv[4:]) or (0,),
+               prompt_len=int(sys.argv[3]) if len(sys.argv) > 3 else 1024)
         sys.exit(0)
     if len(sys.argv) > 1 and sys.argv[1] == "prefix":
         prefix(sys.argv[2] if len(sys.argv) > 2 else "mistral7b",
