@@ -113,20 +113,31 @@ def main():
 
     # --- 3. dispatch crossover on ONE layer's MoE block ---
     moe = params.layers[0].moe
+    REPS = 32  # loop-carried reps inside ONE jit: per-dispatch timing through
+    # the tunnel has a ~1 ms noise floor (negative "times" after RTT
+    # subtraction); chaining x -> moe(x) makes each rep data-dependent
     for b in (1, 2, 4, 8, 16):
         x = jnp.zeros((b, 1, cfg.dim), jnp.bfloat16)
         res = {}
         for label, force in (("per-token", False), ("all-experts", True)):
-            f = jax.jit(lambda m, x, force=force: moe_forward(m, cfg, x, force_dense=force))
+
+            @jax.jit
+            def f(m, x, force=force):
+                def body(x, _):
+                    return moe_forward(m, cfg, x, force_dense=force).astype(x.dtype), ()
+
+                x, _ = jax.lax.scan(body, x, None, length=REPS)
+                return x
+
             f(moe, x).block_until_ready()
             best = float("inf")
             for _ in range(5):
                 t0 = time.perf_counter()
                 float(f(moe, x)[0, 0, 0])
                 best = min(best, time.perf_counter() - t0 - rtt)
-            res[label] = best
-        print(f"B={b:>2}: per-token {res['per-token']*1e3:7.2f} ms   "
-              f"all-experts {res['all-experts']*1e3:7.2f} ms   "
+            res[label] = best / REPS
+        print(f"B={b:>2}: per-token {res['per-token']*1e3:7.3f} ms   "
+              f"all-experts {res['all-experts']*1e3:7.3f} ms   "
               f"-> {'per-token' if res['per-token'] < res['all-experts'] else 'all-experts'}",
               flush=True)
 
