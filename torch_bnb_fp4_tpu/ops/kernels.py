@@ -775,7 +775,7 @@ def matmul_fp4_pk(
     out_dtype=None,
     block_m: int = 256,
     block_k: int | None = None,
-    block_n: int = 2048,
+    block_n: int | None = None,
     interpret: bool | None = None,
     variant: str,
     a8: bool | None = None,
@@ -790,8 +790,11 @@ def matmul_fp4_pk(
     self-describing codebook, so a silent pack/decode mismatch would produce
     wrong weights — every caller states which codebook the buffer holds
     (QuantLinear threads its own ``variant`` field).
-    ``block_k`` None = auto: 512 for the decode/GEMV-shaped m-outer path,
-    1024 for the m-inner GEMM path (both measured best on v5e).
+    ``block_k``/``block_n`` None = auto, per path (measured on v5e):
+    m-inner GEMM bk=1024 (a8: 2048), bn=2048; multi-row m-outer (batched
+    decode, M=2..128 bf16) bk=1024 with bn up to 4096 — +17-23% GB/s over
+    the old 512/2048 on every decode matmul shape, two sessions
+    (benchmarks/smallm_sweep.py); single-row/f32 m-outer keeps 512/2048.
     ``x`` may be f32, bf16, or f16 — f16 computes in bf16 (see matmul_fp4's
     dtype contract), f32 uses full-precision dots.
 
@@ -842,7 +845,8 @@ def matmul_fp4_pk(
     compute_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
     x = x.astype(compute_dtype)
 
-    block_n = _choose_block(n, block_n, 128)
+    auto_bn = block_n is None
+    block_n = _choose_block(n, 2048 if auto_bn else block_n, 128)
     auto_bk = block_k is None
     requested_bk = 512 if auto_bk else block_k
     # scale sublane quantum: 8 rows f32, 16 rows bf16 (compact scales)
@@ -978,8 +982,19 @@ def matmul_fp4_pk(
         return out[:m]
 
     # m-outer path: block_k is free of the scale-tile quantum (the scale
-    # arrives in 8-row-aligned windows) — re-pick it with the finer chooser
-    block_k = _k_block_stripe(k, 512 if auto_bk else requested_bk, blocksize)
+    # arrives in 8-row-aligned windows) — re-pick it with the finer chooser.
+    # Multi-row bf16 (batched decode M=2..128): deeper K and wider N tiles
+    # measured +17-23% GB/s over 512/2048 at M=8..32 on every decode matmul
+    # shape and still >= it at M=64/128, two independent sessions
+    # (benchmarks/smallm_sweep.py; gate/up 559->664, down 528->618 GB/s at
+    # M=16).  bn request 4096 resolves per-N: 14336->3584, 4096->4096.
+    # Single-row and f32 calls keep the GEMV-era 512/2048 defaults.
+    if compute_dtype == jnp.bfloat16 and m >= 2:
+        if auto_bk:
+            requested_bk = 1024
+        if auto_bn:
+            block_n = _choose_block(n, 4096, 128)
+    block_k = _k_block_stripe(k, requested_bk, blocksize)
     nk = k // block_k
     sblk = block_k // blocksize
     # scale window: this step's rows padded out to the 8-sublane quantum;
