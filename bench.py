@@ -74,8 +74,13 @@ def time_decode(params, cfg, steps: int, prompt_len: int = 32, batch: int = 1, r
     # difference method: RTT and all fixed per-call overheads cancel exactly
     # (plain RTT subtraction went negative for tiny models on a noisy tunnel).
     # The two lengths are INTERLEAVED so minute-scale chip drift (observed up
-    # to +-30%) hits both the same way; per-pair differences are min-reduced.
-    best = float("inf")
+    # to +-30%) hits both the same way.  MEDIAN of the positive per-pair
+    # differences, not min: with ~100-300ms of work per difference against
+    # tens of ms of tunnel jitter, min-of-diffs picks the luckiest noise and
+    # once measured a bf16 Mistral-7B step at an effective 1.2 TB/s — above
+    # the chip's HBM peak (min is sound only when per-sample noise is
+    # strictly additive; tunnel jitter is two-sided).
+    diffs = []
     for _ in range(6):
         t0 = time.perf_counter()
         int(run(params, tok0, cache0, steps)[0])
@@ -83,8 +88,14 @@ def time_decode(params, cfg, steps: int, prompt_len: int = 32, batch: int = 1, r
         t0 = time.perf_counter()
         int(run(params, tok0, cache0, 2 * steps)[0])
         t2 = time.perf_counter() - t0
-        best = min(best, max(t2 - t1, 0.05 * t1))
-    return best / steps
+        if t2 - t1 > 0:
+            diffs.append(t2 - t1)
+    if not diffs:
+        return float("nan")
+    diffs.sort()
+    mid = len(diffs) // 2
+    med = diffs[mid] if len(diffs) % 2 else 0.5 * (diffs[mid - 1] + diffs[mid])
+    return med / steps
 
 
 def measure_gemv_roofline() -> dict:
@@ -98,7 +109,9 @@ def measure_gemv_roofline() -> dict:
     from torch_bnb_fp4_tpu.utils.profiling import fp4_matmul_roofline
 
     rng = np.random.default_rng(0)
-    k, n, rep = 4096, 14336, 400
+    # rep sized so one run is ~100ms of kernel work: the difference method
+    # needs per-diff work >> tunnel jitter (same reasoning as time_decode)
+    k, n, rep = 4096, 14336, 2000
     w = (rng.standard_normal((n, k)) * 0.05).astype(np.float32)
     pk, sc = map(jnp.asarray, fmt.pack_tpu_pairk(w, variant="ramp"))
     x = jnp.asarray(rng.standard_normal((1, k)), jnp.bfloat16)
@@ -132,7 +145,10 @@ def measure_gemv_roofline() -> dict:
             diffs.append(t2 - t1)
     if not diffs:  # hopeless jitter: report nothing rather than nonsense
         return {}
-    t = min(diffs) / rep
+    diffs.sort()
+    mid = len(diffs) // 2
+    med = diffs[mid] if len(diffs) % 2 else 0.5 * (diffs[mid - 1] + diffs[mid])
+    t = med / rep
     bytes_moved = pk.size + sc.size * 4 + x.size * 2 + n * 2
     rf = fp4_matmul_roofline(1, k, n, achieved_s=t)
     return dict(
@@ -165,15 +181,15 @@ def main():
     ap.add_argument("--model", default="mistral7b", choices=["mistral7b", "tinyllama", "tiny"])
     ap.add_argument("--steps", type=int, default=None,
                     help="decode steps per timing run; default scales with "
-                    "model size so the step total dwarfs tunnel RTT noise "
-                    "(16 / 64 / 256 for mistral7b / tinyllama / tiny)")
+                    "model size so the per-difference work dwarfs tunnel "
+                    "jitter (48 / 128 / 256 for mistral7b / tinyllama / tiny)")
     ap.add_argument("--prompt-len", type=int, default=32)
     ap.add_argument("--bf16-lm-head", action="store_true",
                     help="keep lm_head bf16 in the FP4 model (reference parity mode; "
                     "default quantizes it — this is an FP4 engine)")
     args = ap.parse_args()
     if args.steps is None:
-        args.steps = {"mistral7b": 16, "tinyllama": 64, "tiny": 256}[args.model]
+        args.steps = {"mistral7b": 48, "tinyllama": 128, "tiny": 256}[args.model]
 
     import dataclasses
 
