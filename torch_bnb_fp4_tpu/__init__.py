@@ -18,11 +18,13 @@ from .models import (
     KVCache,
     ModelConfig,
     ModelParams,
+    QuantEmbedding,
     QuantLinear,
     apply_linear,
     dequantize_weight,
     forward,
     generate,
+    quantize_embedding,
     quantize_linear,
     quantize_params,
 )
@@ -42,6 +44,8 @@ __all__ = [
     "ModelParams",
     "KVCache",
     "quantize_linear",
+    "QuantEmbedding",
+    "quantize_embedding",
     "apply_linear",
     "dequantize_weight",
     "quantize_params",

@@ -16,6 +16,9 @@ def main():
                     "slightly more accurate than exact FP4); exact = bit-exact "
                     "bnb FP4 codes")
     ap.add_argument("--quantize-lm-head", action="store_true")
+    ap.add_argument("--quantize-embed", action="store_true",
+                    help="quantize the token-embedding table too (FP4/NF4 "
+                    "LUT-decoded at lookup; Mistral-7B saves ~190 MB HBM)")
     ap.add_argument("--ignore", action="append", default=[],
                     help="substring of layer names to keep unquantized "
                     "(repeatable) — reference ignore_layer_names parity")
@@ -32,6 +35,7 @@ def main():
         args.out_dir,
         quant_type=args.quant_type,
         quantize_lm_head=args.quantize_lm_head,
+        quantize_embed=args.quantize_embed,
         ignore=tuple(args.ignore),
         variant=args.variant,
     )

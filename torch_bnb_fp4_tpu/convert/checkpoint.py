@@ -20,7 +20,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.linear import DenseLinear, QuantLinear
-from ..models.transformer import LayerParams, ModelConfig, ModelParams, MoEParams
+from ..models.transformer import (
+    LayerParams,
+    ModelConfig,
+    ModelParams,
+    MoEParams,
+    QuantEmbedding,
+)
 from .quantize import repack_k_shards
 
 FORMAT_VERSION = 1
@@ -169,7 +175,16 @@ def save_checkpoint(path: str, cfg: ModelConfig, params: ModelParams) -> None:
     writer = CheckpointWriter(path, cfg)
     put = writer.put
 
-    put("embed", {"embed.w": np.asarray(params.embed)}, {"kind": "dense_embed"})
+    if isinstance(params.embed, QuantEmbedding):
+        e = params.embed
+        put("embed",
+            {"embed.packed": np.asarray(e.packed),
+             "embed.scale": np.asarray(e.scale),
+             "embed.code": np.asarray(e.code)},
+            {"kind": "quant_embed", "blocksize": e.blocksize,
+             "vocab_size": e.vocab_size, "dim": e.dim})
+    else:
+        put("embed", {"embed.w": np.asarray(params.embed)}, {"kind": "dense_embed"})
     put("final_norm", {"final_norm.w": np.asarray(params.final_norm)}, {"kind": "norm"})
     for i, lp in enumerate(params.layers):
         arrays: dict = {
@@ -218,7 +233,18 @@ def load_checkpoint(path: str, tp: int = 1, fuse: bool = False) -> tuple[ModelCo
         with np.load(os.path.join(path, name + ".npz")) as z:
             return _decode_arrays(dict(z), manifest["tensors"][name].get("bf16_keys", []))
 
-    embed = jnp.asarray(arrs("embed")["embed.w"])
+    emeta = manifest["tensors"]["embed"]
+    ea = arrs("embed")
+    if emeta["kind"] == "quant_embed":
+        embed = QuantEmbedding(
+            packed=jnp.asarray(ea["embed.packed"]),
+            scale=jnp.asarray(ea["embed.scale"]),
+            code=jnp.asarray(ea["embed.code"]),
+            vocab_size=emeta["vocab_size"], dim=emeta["dim"],
+            blocksize=emeta["blocksize"],
+        )
+    else:
+        embed = jnp.asarray(ea["embed.w"])
     final_norm = jnp.asarray(arrs("final_norm")["final_norm.w"])
     layers = []
     for i in range(cfg.n_layers):

@@ -228,8 +228,16 @@ def quantize_hf_weights(
         lm_head = ql(lm_name[: -len(".weight")])
     else:
         lm_head = dense_linear(_to_f32(tensors[lm_name]))
+    if cfg.quantize_embed and not any(s in "model.embed_tokens" for s in ignore):
+        from ..models.transformer import quantize_embedding
+
+        embed = quantize_embedding(
+            _to_f32(tensors["model.embed_tokens.weight"]), cfg.blocksize,
+            code=fmt.NF4_CODE if cfg.quant_type == "nf4" else fmt.FP4_CODE)
+    else:
+        embed = jnp.asarray(_to_f32(tensors["model.embed_tokens.weight"]), jnp.bfloat16)
     return ModelParams(
-        embed=jnp.asarray(_to_f32(tensors["model.embed_tokens.weight"]), jnp.bfloat16),
+        embed=embed,
         layers=layers,
         final_norm=norm("model.norm.weight"),
         lm_head=lm_head,
@@ -362,6 +370,7 @@ def convert_hf_model(
     *,
     quant_type: str = "fp4",
     quantize_lm_head: bool = False,
+    quantize_embed: bool = False,
     ignore: tuple[str, ...] = (),
     variant: str = "ramp",
     verbose: bool = True,
@@ -385,7 +394,11 @@ def convert_hf_model(
 
     from .checkpoint import CheckpointWriter, _ql_to_arrays
 
-    cfg = config_from_hf(model_dir, quant_type=quant_type, variant=variant)
+    cfg = config_from_hf(
+        model_dir, quant_type=quant_type, variant=variant,
+        quantize_embed=quantize_embed and not any(
+            s in "model.embed_tokens" for s in ignore),
+    )
 
     # --- plan groups from the shard headers (no tensor data read) ---
     from safetensors import safe_open
@@ -574,8 +587,22 @@ def convert_hf_model(
         nonlocal pending_bytes
         t = pending.pop(group)
         if group == "embed":
-            writer.put("embed", {"embed.w": _np_bf16(t["model.embed_tokens.weight"])},
-                       {"kind": "dense_embed"})
+            if cfg.quantize_embed and not is_ignored("model.embed_tokens"):
+                from ..models.transformer import quantize_embedding
+
+                e = quantize_embedding(
+                    _to_f32(t["model.embed_tokens.weight"]), cfg.blocksize,
+                    code=fmt.NF4_CODE if cfg.quant_type == "nf4" else fmt.FP4_CODE)
+                writer.put(
+                    "embed",
+                    {"embed.packed": np.asarray(e.packed),
+                     "embed.scale": np.asarray(e.scale),
+                     "embed.code": np.asarray(e.code)},
+                    {"kind": "quant_embed", "blocksize": e.blocksize,
+                     "vocab_size": e.vocab_size, "dim": e.dim})
+            else:
+                writer.put("embed", {"embed.w": _np_bf16(t["model.embed_tokens.weight"])},
+                           {"kind": "dense_embed"})
             if tied_lm:
                 flush_lm_head(t["model.embed_tokens.weight"], None,
                               src_name="model.embed_tokens")

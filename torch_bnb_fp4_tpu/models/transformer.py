@@ -45,6 +45,11 @@ class ModelConfig:
     rms_eps: float = 1e-5
     sliding_window: int | None = None
     quantize_lm_head: bool = False
+    # quantize the token-embedding table too (FP4/NF4 by quant_type, LUT
+    # decode at lookup — see QuantEmbedding).  Off by default: matches the
+    # reference, which only swaps nn.Linear modules
+    # (torch_bnb_fp4/__init__.py:717-779) and leaves embeddings alone.
+    quantize_embed: bool = False
     blocksize: int = 64
     quant_type: str = "fp4"
     # Qwen2-style attention bias on q/k/v projections (o_proj stays
@@ -272,8 +277,78 @@ class LayerParams:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class QuantEmbedding:
+    """Blockwise-FP4/NF4 token-embedding table (opt-in: cfg.quantize_embed).
+
+    The reference only swaps ``nn.Linear`` modules and leaves the embedding
+    table full-precision (torch_bnb_fp4/__init__.py:717-779); once every
+    linear is packed, the table is the LAST big bf16 tensor in the model
+    (Mistral-7B: 262 MB -> 69 MB; Llama-2-70B: 1.05 GB -> 275 MB), and the
+    freed HBM goes to KV-cache slots / longer contexts.
+
+    Layout is row-gather-friendly, NOT the matmul pair-K layout: bnb flat
+    row-major codes packed two-per-byte high-nibble-first along the feature
+    dim with one f32 absmax per ``blocksize`` features, so each token's row
+    is self-contained.  Decode is a per-token 16-entry LUT gather that XLA
+    fuses into the lookup — a decode step touches B rows (~KB), so no Pallas
+    kernel is warranted and the codebook stays EXACT (fp4 and nf4 alike; the
+    ramp remap exists only to speed the matmul kernels' arithmetic decode).
+    """
+
+    packed: jax.Array  # (vocab, dim // 2) uint8, high nibble first
+    scale: jax.Array   # (vocab, dim // blocksize) f32 absmax
+    code: jax.Array    # (16,) f32 codebook values (FP4_CODE or NF4_CODE)
+    vocab_size: int = dataclasses.field(metadata=dict(static=True))
+    dim: int = dataclasses.field(metadata=dict(static=True))
+    blocksize: int = dataclasses.field(default=64, metadata=dict(static=True))
+
+    def lookup(self, tokens: jax.Array) -> jax.Array:
+        """tokens (...,) i32 -> embeddings (..., dim) bf16."""
+        p = self.packed[tokens]                       # (..., dim//2) u8
+        s = self.scale[tokens]                        # (..., dim//bs) f32
+        idx = jnp.stack([p >> 4, p & 0xF], axis=-1).astype(jnp.int32)
+        vals = self.code[idx.reshape(*p.shape[:-1], -1)]          # (..., dim)
+        vals = vals.reshape(*s.shape, self.blocksize) * s[..., None]
+        return vals.reshape(*p.shape[:-1], self.dim).astype(jnp.bfloat16)
+
+
+def quantize_embedding(w: np.ndarray, blocksize: int = 64,
+                       code: np.ndarray | None = None) -> QuantEmbedding:
+    """Quantize a (vocab, dim) embedding table to :class:`QuantEmbedding`.
+
+    Blocks must not straddle rows (each token row self-contained for the
+    gather), so ``dim`` must divide by ``blocksize``."""
+    from ..ops import format as fmt
+
+    if code is None:
+        code = fmt.FP4_CODE
+    w = np.asarray(w, np.float32)
+    if w.ndim != 2:
+        raise ValueError(f"embedding table must be 2-D, got {w.shape}")
+    v, d = w.shape
+    if d % blocksize:
+        raise ValueError(f"dim {d} not divisible by blocksize {blocksize}")
+    codes, absmax = fmt.quantize_codes(w, blocksize, np.asarray(code, np.float32))
+    return QuantEmbedding(
+        packed=jnp.asarray(fmt.pack_flat(codes).reshape(v, d // 2)),
+        scale=jnp.asarray(absmax.reshape(v, d // blocksize)),
+        code=jnp.asarray(code, jnp.float32),
+        vocab_size=v, dim=d, blocksize=blocksize,
+    )
+
+
+def embed_lookup(embed, tokens: jax.Array) -> jax.Array:
+    """Token lookup for either embedding representation -> (..., dim) bf16."""
+    if isinstance(embed, QuantEmbedding):
+        return embed.lookup(tokens)
+    return embed[tokens].astype(jnp.bfloat16)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class ModelParams:
-    embed: jax.Array  # (vocab, dim) bf16
+    # (vocab, dim) bf16, or QuantEmbedding if cfg.quantize_embed
+    embed: Any
     layers: list[LayerParams]
     final_norm: jax.Array  # (dim,)
     # lm_head: QuantLinear if cfg.quantize_lm_head else bf16 (dim, vocab)
@@ -630,7 +705,7 @@ def forward(
     max_len = cache.max_len
     if positions is None:
         positions = cache.length[:, None] + jnp.arange(l, dtype=jnp.int32)[None, :]
-    x = params.embed[tokens].astype(jnp.bfloat16)
+    x = embed_lookup(params.embed, tokens)
     if cfg.embed_scale:
         # Gemma scales embeddings by sqrt(dim) ROUNDED to the activation
         # dtype (HF multiplies by a bf16 normalizer tensor)
@@ -806,7 +881,14 @@ def quantize_params(cfg: ModelConfig, weights: dict[str, np.ndarray], fuse: bool
             mlp_norm=jnp.asarray(weights[p + mn + ".weight"], jnp.bfloat16),
             **mlp,
         ))
-    embed = jnp.asarray(weights["model.embed_tokens.weight"], jnp.bfloat16)
+    if cfg.quantize_embed:
+        from ..ops import format as fmt
+
+        embed = quantize_embedding(
+            weights["model.embed_tokens.weight"], cfg.blocksize,
+            code=fmt.NF4_CODE if cfg.quant_type == "nf4" else fmt.FP4_CODE)
+    else:
+        embed = jnp.asarray(weights["model.embed_tokens.weight"], jnp.bfloat16)
     lm_w = weights.get("lm_head.weight")
     if lm_w is None:  # tied embeddings
         lm_w = weights["model.embed_tokens.weight"]

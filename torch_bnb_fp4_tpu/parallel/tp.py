@@ -293,7 +293,7 @@ def _tp_body(params, tokens, cache, last_index, cfg: T.ModelConfig, tp: int):
     b, l = tokens.shape
     max_len = cache.max_len
     positions = cache.length[:, None] + jnp.arange(l, dtype=jnp.int32)[None, :]
-    x = params.embed[tokens].astype(jnp.bfloat16)
+    x = T.embed_lookup(params.embed, tokens)
     if cfg.embed_scale:  # Gemma: sqrt(dim) in bf16, matching models.forward
         x = x * jnp.asarray(cfg.dim**0.5, jnp.bfloat16)
     kv_positions = jnp.arange(max_len, dtype=jnp.int32)
