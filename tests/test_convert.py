@@ -67,6 +67,29 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
 
 
+def test_checkpoint_version_gate(tmp_path):
+    """A checkpoint from a NEWER (unknown) format version fails with an
+    informative ValueError naming the version, not an opaque KeyError; every
+    version in _SUPPORTED_VERSIONS still loads (v1 lacked quant_embed)."""
+    from torch_bnb_fp4_tpu.convert import checkpoint as ck
+
+    weights = T.random_weights(CFG, seed=11)
+    save_checkpoint(str(tmp_path / "ckpt"), CFG, quantize_params(CFG, weights))
+    mpath = tmp_path / "ckpt" / "manifest.json"
+    manifest = json.loads(mpath.read_text())
+    assert manifest["format_version"] == ck.FORMAT_VERSION
+
+    manifest["format_version"] = ck.FORMAT_VERSION + 97
+    mpath.write_text(json.dumps(manifest))
+    with pytest.raises(ValueError, match=r"format_version"):
+        load_checkpoint(str(tmp_path / "ckpt"))
+
+    for v in ck._SUPPORTED_VERSIONS:  # this ckpt has no v2-only features
+        manifest["format_version"] = v
+        mpath.write_text(json.dumps(manifest))
+        load_checkpoint(str(tmp_path / "ckpt"))
+
+
 def test_checkpoint_config_stays_hashable(tmp_path):
     """rope_scaling survives the JSON manifest round-trip as a TUPLE: the
     loaded config must remain hashable (jit static arg) and equal."""

@@ -63,6 +63,21 @@ def test_quantize_embedding_validates():
         quantize_embedding(np.zeros((4, 8, 8), np.float32))
 
 
+def test_synth_params_respects_quantize_embed():
+    """synth benchmarks of a quantize_embed config must build a packed table,
+    not silently measure dense-table HBM (and dense stays dense)."""
+    from torch_bnb_fp4_tpu.utils.synth import synth_params
+
+    cfg = dataclasses.replace(CFG, quantize_embed=True)
+    p = synth_params(cfg)
+    assert isinstance(p.embed, QuantEmbedding)
+    assert p.embed.packed.shape == (cfg.vocab_size, cfg.dim // 2)
+    e = embed_lookup(p.embed, jnp.asarray([[1, 2, 3]], jnp.int32))
+    assert e.shape == (1, 3, cfg.dim) and np.isfinite(np.asarray(e, np.float32)).all()
+    assert not isinstance(synth_params(CFG).embed, QuantEmbedding)
+    assert not isinstance(synth_params(cfg, quantized=False).embed, QuantEmbedding)
+
+
 def test_dense_embed_lookup_unchanged(rng):
     w = jnp.asarray(rng.normal(size=(16, 64)), jnp.bfloat16)
     tokens = jnp.asarray([[1, 3], [0, 15]], jnp.int32)

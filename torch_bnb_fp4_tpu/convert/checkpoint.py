@@ -29,7 +29,11 @@ from ..models.transformer import (
 )
 from .quantize import repack_k_shards
 
-FORMAT_VERSION = 1
+# v1: initial format.  v2: adds the 'quant_embed' embed kind (quantized
+# embedding tables).  Readers accept every version in _SUPPORTED_VERSIONS;
+# writers always stamp the current FORMAT_VERSION.
+FORMAT_VERSION = 2
+_SUPPORTED_VERSIONS = (1, 2)
 _QL_FIELDS = ("packed", "absmax_hi", "absmax_lo", "bias")
 
 
@@ -226,7 +230,13 @@ def load_checkpoint(path: str, tp: int = 1, fuse: bool = False) -> tuple[ModelCo
     requested ``tp`` (checkpoints always store unfused)."""
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
-    assert manifest["format_version"] == FORMAT_VERSION
+    version = manifest.get("format_version")
+    if version not in _SUPPORTED_VERSIONS:
+        raise ValueError(
+            f"checkpoint at {path!r} has format_version {version!r}; this "
+            f"reader supports {_SUPPORTED_VERSIONS}. Re-convert the model or "
+            f"upgrade torch_bnb_fp4_tpu."
+        )
     cfg = ModelConfig(**manifest["config"])
 
     def arrs(name: str) -> dict:

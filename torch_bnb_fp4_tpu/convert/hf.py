@@ -228,7 +228,7 @@ def quantize_hf_weights(
         lm_head = ql(lm_name[: -len(".weight")])
     else:
         lm_head = dense_linear(_to_f32(tensors[lm_name]))
-    if cfg.quantize_embed and not any(s in "model.embed_tokens" for s in ignore):
+    if cfg.quantize_embed and not _embed_ignored(ignore):
         from ..models.transformer import quantize_embedding
 
         embed = quantize_embedding(
@@ -254,6 +254,13 @@ _LINEAR_FIELDS = {
     "w_down": "mlp.down_proj",
 }
 _ROW_PARALLEL = ("wo", "w_down")
+
+
+def _embed_ignored(ignore) -> bool:
+    """True when the embedding table is ignore-listed — the ONE substring rule
+    (vs the HF module name) shared by quantize_hf_weights, convert_hf_model's
+    cfg construction, and the streaming converter."""
+    return any(s in "model.embed_tokens" for s in ignore)
 
 
 def _np_bf16(a: np.ndarray):
@@ -396,8 +403,7 @@ def convert_hf_model(
 
     cfg = config_from_hf(
         model_dir, quant_type=quant_type, variant=variant,
-        quantize_embed=quantize_embed and not any(
-            s in "model.embed_tokens" for s in ignore),
+        quantize_embed=quantize_embed and not _embed_ignored(ignore),
     )
 
     # --- plan groups from the shard headers (no tensor data read) ---
@@ -471,9 +477,12 @@ def convert_hf_model(
                     # --ignore on a bnb-quantized layer: the checkpoint has no
                     # full-precision weights; dequantize its stored state
                     w, bias = _bnb_dense_weight(t, stem)
-                q = _np_dense_linear(w, bias)
-            else:
-                q = _np_quant_linear(cfg, w, bias)
+            if w is None:
+                raise ValueError(
+                    f"checkpoint is missing tensor {stem + '.weight'!r} "
+                    f"(incomplete safetensors shards?)"
+                )
+            q = _np_dense_linear(w, bias) if is_ignored(stem) else _np_quant_linear(cfg, w, bias)
         return q
 
     # --- Mixtral expert assembly: experts stream as their own groups (raw

@@ -96,7 +96,23 @@ def synth_params(cfg: ModelConfig, *, quantized: bool = True, seed: int = 0, tp:
             **mlp,
         ))
     ek, lk = jax.random.split(keys[-1])
-    embed = (jax.random.normal(ek, (cfg.vocab_size, cfg.dim), jnp.float32) * 0.01).astype(jnp.bfloat16)
+    if quantized and cfg.quantize_embed:
+        # mirror quantize_lm_head handling: a quantize_embed config must
+        # benchmark the gather-decoded packed table, not a dense bf16 one
+        from ..models.transformer import QuantEmbedding
+        from ..ops.format import FP4_CODE
+
+        e1, e2 = jax.random.split(ek)
+        embed = QuantEmbedding(
+            packed=jax.random.randint(e1, (cfg.vocab_size, cfg.dim // 2), 0, 256,
+                                      dtype=jnp.int32).astype(jnp.uint8),
+            scale=jax.random.uniform(e2, (cfg.vocab_size, cfg.dim // cfg.blocksize),
+                                     jnp.float32, 0.5, 1.5) * 0.01,
+            code=jnp.asarray(FP4_CODE, jnp.float32),
+            vocab_size=cfg.vocab_size, dim=cfg.dim, blocksize=cfg.blocksize,
+        )
+    else:
+        embed = (jax.random.normal(ek, (cfg.vocab_size, cfg.dim), jnp.float32) * 0.01).astype(jnp.bfloat16)
     if quantized and cfg.quantize_lm_head and layout == "pairk":
         lm_head = synth_quant_linear(lk, cfg.vocab_size, cfg.dim, blocksize=cfg.blocksize, variant=cfg.variant)
     else:
