@@ -35,6 +35,12 @@ def config_from_hf(model_dir: str, **overrides) -> ModelConfig:
     """Build ModelConfig from an HF llama/mistral-family config.json."""
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
+    return config_from_hf_dict(hf, **overrides)
+
+
+def config_from_hf_dict(hf: dict, **overrides) -> ModelConfig:
+    """Build ModelConfig from an HF config dict (config.json contents or
+    ``model.config.to_dict()`` of a live transformers model)."""
     kw = dict(
         vocab_size=hf["vocab_size"],
         dim=hf["hidden_size"],
@@ -180,10 +186,20 @@ def quantize_hf_weights(
         )
 
     def ql(name: str):
+        if any(s in name for s in ignore):
+            if any(f"{name}{_BNB_META}{qt}" in tensors for qt in ("fp4", "nf4")):
+                w, bias = _bnb_dense_weight(tensors, name)  # no fp weights stored
+            else:
+                w = tensors[name + ".weight"]
+                bias = tensors.get(name + ".bias")
+            return dense_linear(_to_f32(w), None if bias is None else _to_f32(bias))
+        # already-bnb-quantized entries (live bnb model state_dict / HF-saved
+        # 4-bit checkpoint in memory) import EXACTLY, same as the streaming path
+        q = _bnb_stored_linear(tensors, name)
+        if q is not None:
+            return q
         w = tensors[name + ".weight"]
         bias = tensors.get(name + ".bias")
-        if any(s in name for s in ignore):
-            return dense_linear(_to_f32(w), None if bias is None else _to_f32(bias))
         # same builder as the streaming converter: ONE padding/quantize rule
         return _jnp_leaves(_np_quant_linear(cfg, w, bias))
 
