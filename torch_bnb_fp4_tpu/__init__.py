@@ -10,9 +10,10 @@ re-organized TPU-first — see README.md capability map):
   parallel          mesh + tensor/data parallelism
   serve             continuous-batching engine
   utils             profiling / roofline / synthetic models
+  compat            the reference's exact API, name for name (docs/MIGRATING.md)
 """
 
-from . import convert, models, ops, parallel, serve, utils
+from . import compat, convert, models, ops, parallel, serve, utils
 from .models import (
     DenseLinear,
     KVCache,
@@ -32,6 +33,7 @@ from .models import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "compat",
     "convert",
     "models",
     "ops",
