@@ -150,7 +150,9 @@ def measure_gemv_roofline() -> dict:
     med = diffs[mid] if len(diffs) % 2 else 0.5 * (diffs[mid - 1] + diffs[mid])
     t = med / rep
     bytes_moved = pk.size + sc.size * 4 + x.size * 2 + n * 2
-    rf = fp4_matmul_roofline(1, k, n, achieved_s=t)
+    from torch_bnb_fp4_tpu.utils.profiling import detect_chip
+
+    rf = fp4_matmul_roofline(1, k, n, chip=detect_chip(), achieved_s=t)
     return dict(
         gemv_us=round(t * 1e6, 1),
         gemv_gbps=round(bytes_moved / t / 1e9, 1),

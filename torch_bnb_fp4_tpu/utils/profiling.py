@@ -72,6 +72,24 @@ CHIP_PEAKS = {
 }
 
 
+def detect_chip(default: str = "v5e") -> str:
+    """Map the local device's ``device_kind`` onto a CHIP_PEAKS key so
+    rooflines self-adjust across TPU generations (kernels pick block shapes
+    at trace time; this is the reporting side)."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return default
+    for key in ("v6e", "v5p", "v5e", "v4"):
+        if key in kind:
+            return key
+    if "v5 lite" in kind or "v5lite" in kind:
+        return "v5e"
+    if "trillium" in kind:
+        return "v6e"
+    return default
+
+
 def fp4_matmul_roofline(m: int, k: int, n: int, chip: str = "v5e", achieved_s: float | None = None) -> dict:
     """Roofline for the fused FP4 matmul: bytes = packed K*N/2 + absmax +
     activations; flops = 2*m*k*n.  Returns the bound and (optionally) the
