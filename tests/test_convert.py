@@ -496,3 +496,61 @@ def test_convert_bnb_serialized_checkpoint(tmp_path):
     got, _ = forward(params, cfg3, tokens, KVCache.zeros(cfg3, 1, 4))
     corr = np.corrcoef(np.asarray(got).ravel(), ref.ravel())[0, 1]
     assert corr > 0.95, corr
+
+
+def test_convert_bnb_requantize_to_ramp(tmp_path):
+    """--requantize on a bitsandbytes NF4 checkpoint: stored codes are
+    dequantized exactly and re-packed to the serving-speed ramp variant
+    (fresh fp4 quantization), with weight error bounded by the measured
+    composition (~1.3x direct-ramp) and forward tracking the bf16 twin."""
+    from safetensors.numpy import save_file
+
+    from torch_bnb_fp4_tpu.convert.quantize import quantize_pack_pairk
+    from torch_bnb_fp4_tpu.models import dequantize_weight
+
+    weights = T.random_weights(CFG, seed=32)
+    t: dict = {}
+    for name, w in weights.items():
+        stem = name[: -len(".weight")]
+        is_linear = any(s in name for s in
+                        ("q_proj", "k_proj", "v_proj", "o_proj",
+                         "gate_proj", "up_proj", "down_proj"))
+        if is_linear:
+            _bnb_serialize(stem, np.asarray(w, np.float32), t, quant_type="nf4")
+        else:
+            t[name] = np.asarray(w, np.float32)
+    src = tmp_path / "hf"
+    os.makedirs(src)
+    hf_cfg = dict(vocab_size=CFG.vocab_size, hidden_size=CFG.dim,
+                  num_hidden_layers=CFG.n_layers, num_attention_heads=CFG.n_heads,
+                  num_key_value_heads=CFG.n_kv_heads, intermediate_size=CFG.ffn_dim)
+    with open(src / "config.json", "w") as f:
+        json.dump(hf_cfg, f)
+    save_file(t, str(src / "model.safetensors"))
+
+    cfg2 = convert_hf_model(str(src), str(tmp_path / "out"), verbose=False,
+                            requantize=True, variant="ramp")
+    assert cfg2.quant_type == "fp4" and cfg2.variant == "ramp"
+    cfg3, params = load_checkpoint(str(tmp_path / "out"))
+    q = params.layers[0].wq
+    assert q.variant == "ramp" and q.codebook is None
+
+    # weight error vs the ORIGINAL f32 twin stays within the measured
+    # composition bound: requantized <= 1.5x a direct ramp pack's error
+    name = "model.layers.0.self_attn.q_proj"
+    w0 = np.asarray(weights[name + ".weight"], np.float32)
+    got = np.asarray(dequantize_weight(q, out_dtype=jnp.float32, interpret=True))
+    e_req = np.abs(got - w0).mean()  # dequantize_weight returns (n_out, k_in)
+    pd, hd = quantize_pack_pairk(w0, blocksize=CFG.blocksize, variant="ramp")
+    wd = fmt.unpack_tpu_pairk(pd, hd, variant="ramp")[: w0.shape[1], : w0.shape[0]].T
+    e_direct = np.abs(wd - w0).mean()
+    assert e_req <= 1.5 * e_direct, (e_req, e_direct)
+
+    # forward still tracks the bf16 twin (composed NF4+ramp quantization:
+    # ~1.3-1.5x a single pack's weight error, so the tiny random model's
+    # logit correlation sits a notch under the exact-import test's 0.95)
+    tokens = jnp.asarray([[3, 1, 4, 1]], jnp.int32)
+    ref = np.asarray(T.reference_forward(CFG, weights, tokens))
+    got_l, _ = forward(params, cfg3, tokens, KVCache.zeros(cfg3, 1, 4))
+    corr = np.corrcoef(np.asarray(got_l).ravel(), ref.ravel())[0, 1]
+    assert corr > 0.9, corr

@@ -22,6 +22,13 @@ def main():
     ap.add_argument("--ignore", action="append", default=[],
                     help="substring of layer names to keep unquantized "
                     "(repeatable) — reference ignore_layer_names parity")
+    ap.add_argument("--requantize", action="store_true",
+                    help="bitsandbytes-serialized sources only: dequantize the "
+                    "stored codes exactly and quantize FRESH to --quant-type/"
+                    "--variant instead of importing them.  The serving-speed "
+                    "path for NF4 checkpoints (ramp GEMV decodes ~4.7x faster "
+                    "than the NF4 LUT on v5e) at a measured 1.26x the "
+                    "direct-ramp weight error (NF4 source; fp4 source 1.15x)")
     args = ap.parse_args()
     if args.quant_type == "fp4" and args.variant != "exact":
         print(
@@ -38,6 +45,7 @@ def main():
         quantize_embed=args.quantize_embed,
         ignore=tuple(args.ignore),
         variant=args.variant,
+        requantize=args.requantize,
     )
 
 

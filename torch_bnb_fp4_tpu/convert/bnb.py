@@ -57,12 +57,18 @@ def from_bnb_state(
     quant_type: str = "fp4",
     bias: np.ndarray | None = None,
     layout: str | None = None,
+    device: bool = True,
 ) -> QuantLinear:
     """Build a QuantLinear from bnb flat state for a (n_out, k_in) weight.
 
     Exact: the 4-bit codes and the absmax grid are preserved; only the
     storage layout changes (pairk additionally folds absmax/192 into the
     scale, one f32 rounding — see ops/format.pack_tpu_pairk).
+
+    ``device=False`` keeps the leaves as NUMPY arrays — for host-side tools
+    (the streaming converter writes them straight to disk; a jnp round-trip
+    there costs a device put + fetch per layer, which on a tunneled TPU host
+    turns a seconds-long conversion into minutes).
     """
     n_out, k_in = shape
     if k_in % blocksize != 0:
@@ -90,7 +96,7 @@ def from_bnb_state(
         ct = fmt.RANK_REMAP[codes].T  # (K, N)
         packed = ((ct[1::2].astype(np.uint8) << 4) | ct[0::2]).astype(np.uint8)
         scale = (absmax.T / fmt.PAIRK_VALUE_SCALE).astype(np.float32)
-        hi, lo = jnp.asarray(scale), None
+        hi, lo = scale, None
     elif layout == "pairk":
         # nf4: bnb's table is sorted ascending, so the stored 4-bit codes
         # ARE ranks — pair them directly, scale = absmax (codebook max 1.0).
@@ -98,26 +104,27 @@ def from_bnb_state(
         # values; the 4-bit codes and absmax grid are preserved exactly).
         ct = codes.T  # (K, N)
         packed = ((ct[1::2].astype(np.uint8) << 4) | ct[0::2]).astype(np.uint8)
-        hi, lo = jnp.asarray(absmax.T.astype(np.float32)), None
+        hi, lo = absmax.T.astype(np.float32), None
     else:
         ct = codes.T  # (K, N)
         half = ct.shape[0] // 2
         packed = ((ct[:half].astype(np.uint8) << 4) | (ct[half:] & 0xF)).astype(np.uint8)
         at = absmax.T  # (K/bs, N)
-        hi, lo = jnp.asarray(at[: at.shape[0] // 2]), jnp.asarray(at[at.shape[0] // 2 :])
+        hi, lo = np.ascontiguousarray(at[: at.shape[0] // 2]), np.ascontiguousarray(at[at.shape[0] // 2 :])
     code = fmt.FP4_CODE if quant_type == "fp4" else fmt.NF4_CODE
+    put = jnp.asarray if device else np.asarray
     return QuantLinear(
-        packed=jnp.asarray(packed),
-        absmax_hi=hi,
-        absmax_lo=lo,
-        bias=None if bias is None else jnp.asarray(np.asarray(bias, np.float32)),
+        packed=put(packed),
+        absmax_hi=put(hi),
+        absmax_lo=None if lo is None else put(lo),
+        bias=None if bias is None else put(np.asarray(bias, np.float32)),
         n_out=n_out,
         k_in=k_in,
         blocksize=blocksize,
         layout=layout,
         k_shards=1,
         variant=("lut" if layout == "pairk" and quant_type == "nf4" else "exact"),
-        codebook=None if quant_type == "fp4" else jnp.asarray(code),
+        codebook=None if quant_type == "fp4" else put(code),
     )
 
 

@@ -160,6 +160,7 @@ def quantize_hf_weights(
     quantize_lm_head: bool = False,
     quant_type: str = "fp4",
     ignore: tuple[str, ...] = (),
+    requantize: bool = False,
 ) -> ModelParams:
     """Build packed ModelParams from an HF-named weight dict (in memory).
 
@@ -167,6 +168,11 @@ def quantize_hf_weights(
     DenseLinear) — the reference's ignore-list
     (recursively_replace_with_fp4_linear(ignore_layer_names=...),
     torch_bnb_fp4/__init__.py:788,831-835).
+
+    ``requantize``: bnb-stored layers are dequantized exactly and quantized
+    FRESH to ``cfg.quant_type``/``cfg.variant`` instead of importing their
+    codes — the serving-speed path for NF4 checkpoints (see
+    :func:`convert_hf_model`).
     """
     import dataclasses
 
@@ -194,10 +200,13 @@ def quantize_hf_weights(
                 bias = tensors.get(name + ".bias")
             return dense_linear(_to_f32(w), None if bias is None else _to_f32(bias))
         # already-bnb-quantized entries (live bnb model state_dict / HF-saved
-        # 4-bit checkpoint in memory) import EXACTLY, same as the streaming path
-        q = _bnb_stored_linear(tensors, name)
-        if q is not None:
-            return q
+        # 4-bit checkpoint in memory) import EXACTLY, same as the streaming
+        # path — unless requantize asks for a fresh serving-speed pack
+        if _bnb_state(tensors, name) is not None:
+            if requantize:
+                w, bias = _bnb_dense_weight(tensors, name)
+                return _jnp_leaves(_np_quant_linear(cfg, w, bias))
+            return _bnb_stored_linear(tensors, name, device=True)
         w = tensors[name + ".weight"]
         bias = tensors.get(name + ".bias")
         # same builder as the streaming converter: ONE padding/quantize rule
@@ -357,16 +366,19 @@ def _bnb_state(t: dict, stem: str):
         None if bias is None else _to_f32(bias))
 
 
-def _bnb_stored_linear(t: dict, stem: str):
+def _bnb_stored_linear(t: dict, stem: str, device: bool = False):
     """EXACT QuantLinear from serialized bnb state (codes + absmax grid
-    preserved); None when ``stem`` is not bnb-quantized here."""
+    preserved); None when ``stem`` is not bnb-quantized here.  Numpy leaves
+    by default: the streaming converter writes them straight to disk (a jnp
+    round-trip per layer would stall a tunneled-TPU host on device fetches)."""
     st = _bnb_state(t, stem)
     if st is None:
         return None
     packed, absmax, shape, bs, qt, bias = st
     from .bnb import from_bnb_state
 
-    return from_bnb_state(packed, absmax, shape, blocksize=bs, quant_type=qt, bias=bias)
+    return from_bnb_state(packed, absmax, shape, blocksize=bs, quant_type=qt,
+                          bias=bias, device=device)
 
 
 def _bnb_dense_weight(t: dict, stem: str):
@@ -396,6 +408,7 @@ def convert_hf_model(
     quantize_embed: bool = False,
     ignore: tuple[str, ...] = (),
     variant: str = "ramp",
+    requantize: bool = False,
     verbose: bool = True,
     stats_out: dict | None = None,
 ) -> ModelConfig:
@@ -412,6 +425,17 @@ def convert_hf_model(
 
     ``stats_out`` (optional dict) receives {"peak_pending_bytes", "total_bytes",
     "groups"} — tests assert the streaming bound with it.
+
+    ``requantize``: when the source is a bitsandbytes-serialized 4-bit
+    checkpoint, dequantize the stored codes exactly and quantize FRESH to the
+    requested ``quant_type``/``variant`` instead of importing the codes.  The
+    serving-speed path for NF4 checkpoints: NF4's exact decode is a LUT
+    gather (microcoded on v5e, GEMV ~0.68x the bf16 matvec) while the ramp
+    variant decodes arithmetically at 3.2x — requantizing trades a measured
+    1.26x the direct-ramp weight error (0.107 vs 0.085 sigma mean |dw| on
+    Gaussian weights; NF4-exact is 0.073) for that speed.  fp4-exact sources
+    requantize at 1.15x direct-ramp error.  No-op for full-precision sources
+    (they already quantize fresh).
     """
     from collections import defaultdict
 
@@ -443,15 +467,21 @@ def convert_hf_model(
         None,
     )
     if bnb_qt is not None:
-        import dataclasses
+        if requantize:
+            if verbose:
+                print(f"bitsandbytes {bnb_qt} checkpoint detected: REQUANTIZING "
+                      f"to {cfg.quant_type}/{cfg.variant} (exact dequantize -> "
+                      "fresh pack; serving-speed tradeoff, see convert --help)")
+        else:
+            import dataclasses
 
-        cfg = dataclasses.replace(
-            cfg, quant_type=bnb_qt,
-            variant="exact" if bnb_qt == "fp4" else cfg.variant,
-        )
-        if verbose:
-            print(f"bitsandbytes {bnb_qt} checkpoint detected: importing stored "
-                  "codes exactly (no requantization)")
+            cfg = dataclasses.replace(
+                cfg, quant_type=bnb_qt,
+                variant="exact" if bnb_qt == "fp4" else cfg.variant,
+            )
+            if verbose:
+                print(f"bitsandbytes {bnb_qt} checkpoint detected: importing stored "
+                      "codes exactly (no requantization)")
 
     def group_of(key: str) -> str:
         if ".block_sparse_moe.experts." in key:
@@ -481,18 +511,20 @@ def convert_hf_model(
     writer = CheckpointWriter(out_dir, cfg)
 
     def quant_or_dense(t: dict, stem: str):
-        """One linear from streamed tensors: stored-bnb exact import, fresh
-        quantization, or dense (ignore-listed) — shared by attention linears
-        and MoE experts."""
-        q = None if is_ignored(stem) else _bnb_stored_linear(t, stem)
+        """One linear from streamed tensors: stored-bnb exact import (or
+        requantize), fresh quantization, or dense (ignore-listed) — shared by
+        attention linears and MoE experts."""
+        q = None
+        if not is_ignored(stem) and not requantize:
+            q = _bnb_stored_linear(t, stem)
         if q is None:
             w = t.get(stem + ".weight")
             bias = t.get(stem + ".bias")
-            if is_ignored(stem):
-                if any(f"{stem}{_BNB_META}{qt}" in t for qt in ("fp4", "nf4")):
-                    # --ignore on a bnb-quantized layer: the checkpoint has no
-                    # full-precision weights; dequantize its stored state
-                    w, bias = _bnb_dense_weight(t, stem)
+            if any(f"{stem}{_BNB_META}{qt}" in t for qt in ("fp4", "nf4")):
+                # --ignore on a bnb-quantized layer (the checkpoint has no
+                # full-precision weights) or --requantize: dequantize the
+                # stored state exactly, then keep dense / quantize fresh
+                w, bias = _bnb_dense_weight(t, stem)
             if w is None:
                 raise ValueError(
                     f"checkpoint is missing tensor {stem + '.weight'!r} "
