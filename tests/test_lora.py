@@ -191,3 +191,111 @@ def test_engine_serves_lora(weights, adapter):
         params, CFG, jnp.asarray([[3, 7, 2]], jnp.int32), max_new_tokens=5
     ))[0].tolist()
     assert res[1].tokens == want
+
+
+# ---------------------------------------------------------------------------
+# Multi-adapter serving (attach_multi_lora + per-request adapter selection)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def adapter_b():
+    # different rank/alpha and a different target set than `adapter` — the
+    # stacks must pad ranks and zero-fill non-targeted modules
+    rng = np.random.default_rng(21)
+    w = {}
+    for i in range(CFG.n_layers):
+        w[f"model.layers.{i}.self_attn.q_proj"] = (
+            rng.standard_normal((4, CFG.dim)).astype(np.float32) * 0.02,
+            rng.standard_normal((CFG.dim, 4)).astype(np.float32) * 0.02,
+        )
+    return PEFTAdapter(r=4, alpha=8.0, weights=w)
+
+
+def test_multi_lora_matches_single_attach(weights, adapter, adapter_b):
+    """Per-row adapter selection reproduces each single-attach oracle, and
+    index 0 reproduces the base model, within one batched forward."""
+    from torch_bnb_fp4_tpu.models import attach_multi_lora
+
+    base = quantize_params(CFG, weights)
+    mp, ids = attach_multi_lora(base, CFG, {"a": adapter, "b": adapter_b})
+    assert ids == {"a": 1, "b": 2}
+    toks = jnp.asarray(np.repeat(TOKS, 3, axis=0))
+    aidx = jnp.asarray([1, 0, 2], jnp.int32)
+    got, _ = forward(mp, CFG, toks, KVCache.zeros(CFG, 3, 8), adapter_idx=aidx)
+    got = np.asarray(got)
+    want_a = _fw(attach_lora(base, CFG, adapter))[0]
+    want_0 = _fw(base)[0]
+    want_b = _fw(attach_lora(base, CFG, adapter_b))[0]
+    scale = np.abs(want_0).max()
+    assert np.abs(got[0] - want_a).max() / scale < 5e-3
+    assert np.abs(got[1] - want_0).max() / scale < 5e-3
+    assert np.abs(got[2] - want_b).max() / scale < 5e-3
+
+
+def test_multi_lora_requires_adapter_idx(weights, adapter):
+    from torch_bnb_fp4_tpu.models import attach_multi_lora
+
+    mp, _ = attach_multi_lora(quantize_params(CFG, weights), CFG, {"a": adapter})
+    with pytest.raises(ValueError, match="adapter_idx"):
+        forward(mp, CFG, jnp.asarray(TOKS), KVCache.zeros(CFG, 1, 8))
+    # and the reverse: an index without multi-LoRA params
+    with pytest.raises(ValueError, match="no MultiLoRALinear"):
+        forward(quantize_params(CFG, weights), CFG, jnp.asarray(TOKS),
+                KVCache.zeros(CFG, 1, 8), adapter_idx=jnp.zeros((1,), jnp.int32))
+
+
+def test_multi_lora_tp_matches_single_device(weights, adapter, adapter_b):
+    """Stacked adapter factors shard like single-LoRA with the adapter axis
+    replicated — mesh forward with per-row selection == single device."""
+    from torch_bnb_fp4_tpu.models import attach_multi_lora
+    from torch_bnb_fp4_tpu.parallel import tp as TP
+
+    mp, _ = attach_multi_lora(
+        quantize_params(CFG, weights), CFG, {"a": adapter, "b": adapter_b})
+    toks = jnp.asarray(np.repeat(TOKS, 4, axis=0))
+    aidx = jnp.asarray([1, 0, 2, 1], jnp.int32)
+    ref, _ = forward(mp, CFG, toks, KVCache.zeros(CFG, 4, 8), adapter_idx=aidx)
+    ref = np.asarray(ref)
+    mesh = TP.make_mesh(n_model=4, n_data=2)
+    sp = TP.shard_params(mp, mesh)
+    cache = TP.shard_cache(KVCache.zeros(CFG, 4, 8), mesh)
+    fwd = TP.tp_forward_fn(sp, CFG, cache, mesh, with_adapter_idx=True)
+    got, _ = jax.jit(fwd)(sp, toks, cache, aidx)
+    d = np.abs(np.asarray(got) - ref).max() / np.abs(ref).max()
+    assert d < 2e-2, d
+
+
+@pytest.mark.slow
+def test_engine_multi_lora_per_request(weights, adapter, adapter_b):
+    """Engine serves three concurrent requests on different adapters (and the
+    base); each completion matches its single-attach generate() oracle
+    token for token."""
+    from torch_bnb_fp4_tpu.models import attach_multi_lora
+    from torch_bnb_fp4_tpu.serve import Engine, EngineConfig, Request
+
+    base = quantize_params(CFG, weights)
+    mp, ids = attach_multi_lora(base, CFG, {"a": adapter, "b": adapter_b})
+    eng = Engine(mp, CFG, EngineConfig(max_batch=4, max_len=32, inner_steps=2),
+                 adapter_ids=ids)
+    res = eng.run([
+        Request(uid=0, prompt=[3, 7, 2], max_new_tokens=6, adapter="a"),
+        Request(uid=1, prompt=[5, 9, 1], max_new_tokens=6, adapter="b"),
+        Request(uid=2, prompt=[6, 5, 3], max_new_tokens=6),
+    ])
+    oracles = {0: attach_lora(base, CFG, adapter), 1: attach_lora(base, CFG, adapter_b),
+               2: base}
+    prompts = {0: [3, 7, 2], 1: [5, 9, 1], 2: [6, 5, 3]}
+    for uid, p_i in oracles.items():
+        want = np.asarray(generate(
+            p_i, CFG, jnp.asarray([prompts[uid]], jnp.int32), max_new_tokens=6
+        ))[0].tolist()
+        assert res[uid].tokens == want, (uid, res[uid].tokens, want)
+    # unknown adapter name fails at submit
+    with pytest.raises(ValueError, match="unknown adapter"):
+        eng.submit(Request(uid=9, prompt=[1], adapter="nope"))
+    # params/ids must travel together
+    with pytest.raises(ValueError, match="disagree"):
+        Engine(mp, CFG, EngineConfig(max_batch=2, max_len=16))
+    with pytest.raises(ValueError, match="disagree"):
+        Engine(base, CFG, EngineConfig(max_batch=2, max_len=16), adapter_ids=ids)

@@ -155,6 +155,108 @@ class LoRALinear:
         return y.astype(out_dtype if out_dtype is not None else x.dtype)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MultiLoRALinear:
+    """L stacked low-rank adapters over ONE shared (usually packed-FP4) base —
+    multi-tenant QLoRA serving: every request picks its adapter per batch row
+    (S-LoRA-style), so finetunes of the same base model serve from a single
+    copy of the 4-bit weights.  ``y[i] = base(x)[i] + scale[idx[i]] *
+    (x[i] @ a[idx[i]]) @ b[idx[i]]``.
+
+    Stacks are rank-padded to the widest adapter (zero-padded columns add
+    exact zeros to the delta) and SLOT 0 IS RESERVED as the zero adapter
+    ("no adapter": a/b/scale all zero), so requests without an adapter ride
+    the same program.  The per-row gather moves only (k+n)·r·2 bytes per row
+    — r/k_in of the base's traffic, <2% at practical ranks, and independent
+    of how many adapters are resident.
+
+    Under TP the stacks shard like :class:`LoRALinear` with the adapter axis
+    replicated: column-parallel targets replicate ``a`` / shard ``b``'s
+    output dim; row-parallel targets shard ``a``'s input dim (the delta
+    partial-sums through the SAME psum as the base partial) and replicate
+    ``b`` (parallel/tp.py).
+
+    Calls REQUIRE ``adapter_idx`` ((B,) i32, threaded via
+    ``forward(adapter_idx=...)``) — a missing index fails loudly instead of
+    silently serving the base model.
+    """
+
+    base: Any  # QuantLinear | DenseLinear
+    a: jax.Array  # (L, k_in, r_max)
+    b: jax.Array  # (L, r_max, n_out)
+    scale: jax.Array  # (L,) f32: alpha_l / r_l (0 for the reserved slot 0)
+
+    @property
+    def n_out(self) -> int:
+        return self.base.n_out
+
+    @property
+    def k_in(self) -> int:
+        return self.base.k_in
+
+    @property
+    def bias(self):
+        return self.base.bias
+
+    @property
+    def n_adapters(self) -> int:
+        return self.a.shape[0]
+
+    @property
+    def rank(self) -> int:
+        return self.a.shape[-1]
+
+    def __call__(self, x: jax.Array, out_dtype=None, adapter_idx=None, **kw) -> jax.Array:
+        if adapter_idx is None:
+            raise ValueError(
+                "MultiLoRALinear requires adapter_idx ((B,) i32 per batch row) "
+                "— thread it through forward(adapter_idx=...)"
+            )
+        y = self.base(x, out_dtype=jnp.float32, **kw)
+        idx = jnp.asarray(adapter_idx, jnp.int32)
+        a = jnp.take(self.a, idx, axis=0).astype(x.dtype)  # (B, k, r)
+        bm = jnp.take(self.b, idx, axis=0).astype(x.dtype)  # (B, r, n)
+        h = jnp.einsum("b...k,bkr->b...r", x, a)
+        d = jnp.einsum("b...r,brn->b...n", h, bm, preferred_element_type=jnp.float32)
+        s = jnp.take(self.scale, idx, axis=0).astype(jnp.float32)  # (B,)
+        y = y + s.reshape(s.shape + (1,) * (y.ndim - 1)) * d
+        return y.astype(out_dtype if out_dtype is not None else x.dtype)
+
+
+def multi_lora_linear(base, adapters, *, dtype=jnp.bfloat16) -> MultiLoRALinear:
+    """Stack PEFT-convention adapters over ``base``.  ``adapters``: list of
+    (lora_A (r, k_in), lora_B (n_out, r), alpha) — entry i lands in slot i+1
+    (slot 0 is the reserved zero adapter); ``None`` entries become zero
+    adapters too (this adapter does not target this module).  Ranks may
+    differ; stacks pad to the widest."""
+    rs = [0 if ab is None else np.asarray(ab[0], np.float32).shape[0] for ab in adapters]
+    r_max = max(1, max(rs, default=0))
+    n_l = len(adapters) + 1
+    a = np.zeros((n_l, base.k_in, r_max), np.float32)
+    b = np.zeros((n_l, r_max, base.n_out), np.float32)
+    scale = np.zeros((n_l,), np.float32)
+    for i, ab in enumerate(adapters):
+        if ab is None:
+            continue
+        ai, bi, alpha = ab
+        ai = np.asarray(ai, np.float32)
+        bi = np.asarray(bi, np.float32)
+        r = ai.shape[0]
+        if ai.shape != (r, base.k_in) or bi.shape != (base.n_out, r):
+            raise ValueError(
+                f"adapter {i} shapes lora_A {ai.shape} / lora_B {bi.shape} do "
+                f"not match base {base.n_out}x{base.k_in}"
+            )
+        a[i + 1, :, :r] = ai.T
+        b[i + 1, :r, :] = bi.T
+        scale[i + 1] = float(alpha) / r
+    return MultiLoRALinear(
+        base=base, a=jnp.asarray(a, dtype), b=jnp.asarray(b, dtype),
+        scale=jnp.asarray(scale),
+    )
+
+
 def lora_linear(base, a: np.ndarray, b: np.ndarray, *, alpha: float, dtype=jnp.bfloat16) -> LoRALinear:
     """Wrap ``base`` with a PEFT-convention adapter: ``a`` is lora_A (r, k_in)
     and ``b`` is lora_B (n_out, r) in torch (out, in) orientation; scaling is
@@ -295,7 +397,7 @@ def local_view(q: QuantLinear, *, n_parts: int = 1, k_parts: int = 1) -> QuantLi
     """
     assert q.n_out % n_parts == 0, (q.n_out, n_parts)
     assert q.k_in % k_parts == 0, (q.k_in, k_parts)
-    if isinstance(q, LoRALinear):
+    if isinstance(q, (LoRALinear, MultiLoRALinear)):
         # a/b leaves are already local inside shard_map; only the base's
         # static metadata needs rewriting
         return dataclasses.replace(q, base=local_view(q.base, n_parts=n_parts, k_parts=k_parts))
@@ -332,12 +434,17 @@ def _shard_reorder_x(x2: jax.Array, k_shards: int) -> jax.Array:
     )
 
 
-def apply_linear(q: QuantLinear, x: jax.Array, *, block_m: int = 256, out_dtype=None, interpret: bool | None = None) -> jax.Array:
+def apply_linear(q: QuantLinear, x: jax.Array, *, block_m: int = 256, out_dtype=None, interpret: bool | None = None, adapter_idx=None) -> jax.Array:
     """Forward pass. x: (..., k_in) -> (..., n_out).
 
     Trace-time dispatch (replacing reference QuantData.forward runtime policy,
     __init__.py:560-618): one total row -> GEMV fast path, else fused GEMM.
+
+    ``adapter_idx`` is accepted-and-ignored: a model serving per-request LoRA
+    adapters threads it to EVERY layer linear, and only the
+    :class:`MultiLoRALinear`-wrapped targets consume it.
     """
+    del adapter_idx
     *lead, k = x.shape
     if k != q.k_in:
         raise ValueError(

@@ -26,7 +26,7 @@ import os
 
 import numpy as np
 
-from .linear import DenseLinear, LoRALinear, QuantLinear, dense_linear, dequantize_weight, lora_linear, quantize_linear
+from .linear import DenseLinear, LoRALinear, MultiLoRALinear, QuantLinear, dense_linear, dequantize_weight, lora_linear, multi_lora_linear, quantize_linear
 from .transformer import LayerParams, ModelConfig, ModelParams
 
 # HF module suffix -> LayerParams field (same map the converter uses)
@@ -121,6 +121,56 @@ def attach_lora(params: ModelParams, cfg: ModelConfig, adapter: PEFTAdapter) -> 
             lp, **{field: lora_linear(base, a, b, alpha=adapter.alpha)}
         )
     return dataclasses.replace(params, layers=new_layers)
+
+
+def attach_multi_lora(
+    params: ModelParams, cfg: ModelConfig, adapters: dict[str, PEFTAdapter],
+) -> tuple[ModelParams, dict[str, int]]:
+    """Stack several adapters over one shared base for PER-REQUEST serving
+    (multi-tenant QLoRA: N finetunes of the same base model served from one
+    copy of the packed-FP4 weights).  Every module targeted by ANY adapter
+    becomes a :class:`~.linear.MultiLoRALinear` holding all adapters' factors
+    (zero rows for adapters that skip that module); forward passes then
+    select per batch row via ``adapter_idx``.
+
+    Returns ``(params, ids)`` where ``ids[name]`` is the adapter's index
+    (starting at 1; index 0 is the reserved "no adapter" slot) — pass ids to
+    ``Engine(adapter_ids=...)`` and name an adapter per ``Request``.
+
+    Params must be UNFUSED (load_checkpoint(fuse=False)), like
+    :func:`attach_lora`; do not mix with single-adapter attach on the same
+    params (a LoRALinear would apply its one adapter to every row,
+    ignoring the per-row index).
+    """
+    names = list(adapters)
+    ids = {name: i + 1 for i, name in enumerate(names)}
+    # (layer, field) -> per-adapter (A, B, alpha) in id order
+    stacks: dict[tuple[int, str], list] = {}
+    for name in names:
+        for i, field, a, b in _targets(cfg, adapters[name]):
+            lp = params.layers[i]
+            if lp.wqkv is not None or lp.w_gateup is not None:
+                raise ValueError("attach_multi_lora requires unfused params "
+                                 "(load_checkpoint(..., fuse=False))")
+            base = getattr(lp, field)
+            if base is None:
+                raise ValueError(f"layer {i} has no {field} (MoE layer?)")
+            if isinstance(base, (LoRALinear,)):
+                raise ValueError(
+                    f"layer {i}.{field} already has a single-adapter "
+                    "LoRALinear attached; detach_lora first"
+                )
+            key = (i, field)
+            if key not in stacks:
+                stacks[key] = [None] * len(names)
+            stacks[key][ids[name] - 1] = (a, b, adapters[name].alpha)
+    new_layers = list(params.layers)
+    for (i, field), entries in stacks.items():
+        base = getattr(new_layers[i], field)
+        new_layers[i] = dataclasses.replace(
+            new_layers[i], **{field: multi_lora_linear(base, entries)}
+        )
+    return dataclasses.replace(params, layers=new_layers), ids
 
 
 def detach_lora(params: ModelParams) -> ModelParams:

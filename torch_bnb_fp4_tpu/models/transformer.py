@@ -601,6 +601,7 @@ def _layer_forward(
     kv_valid: jax.Array,  # (B, max_len)
     axis_name: str | None = None,  # TP mesh axis; lp then holds LOCAL shards
     layer_idx: int = 0,  # selects the per-layer sliding window (Gemma-2)
+    adapter_idx: jax.Array | None = None,  # (B,) per-row LoRA adapter (MultiLoRALinear)
 ):
     """One decoder block.  When ``axis_name`` is set (tensor parallelism via
     shard_map, see parallel/tp.py), ``lp``'s linears are local views —
@@ -618,6 +619,10 @@ def _layer_forward(
         n_heads = lp.wq.n_out // cfg.head_dim  # local under TP
         n_kv = lp.wk.n_out // cfg.head_dim
 
+    # per-row adapter selection rides as a kwarg every linear accepts;
+    # only MultiLoRALinear-wrapped targets consume it
+    akw = {} if adapter_idx is None else dict(adapter_idx=adapter_idx)
+
     def _reduce(y, bias):
         # partials stay f32 until after the cross-shard sum (bf16 rounding of
         # per-shard partials would add O(tp) ulps of noise per layer)
@@ -629,20 +634,20 @@ def _layer_forward(
 
     def _row_parallel(q_lin, h_in):
         out_dtype = jnp.float32 if axis_name is not None else None
-        return q_lin(h_in, out_dtype=out_dtype)
+        return q_lin(h_in, out_dtype=out_dtype, **akw)
 
     h = rms_norm(x, lp.attn_norm, cfg.rms_eps, cfg.norm_offset)
     if lp.wqkv is not None:
-        qkv = lp.wqkv(h)
+        qkv = lp.wqkv(h, **akw)
         qc, kc = n_heads * cfg.head_dim, n_kv * cfg.head_dim
         q, k, v = qkv[..., :qc], qkv[..., qc : qc + kc], qkv[..., qc + kc :]
         q = q.reshape(b, l, n_heads, cfg.head_dim)
         k = k.reshape(b, l, n_kv, cfg.head_dim)
         v = v.reshape(b, l, n_kv, cfg.head_dim)
     else:
-        q = lp.wq(h).reshape(b, l, n_heads, cfg.head_dim)
-        k = lp.wk(h).reshape(b, l, n_kv, cfg.head_dim)
-        v = lp.wv(h).reshape(b, l, n_kv, cfg.head_dim)
+        q = lp.wq(h, **akw).reshape(b, l, n_heads, cfg.head_dim)
+        k = lp.wk(h, **akw).reshape(b, l, n_kv, cfg.head_dim)
+        v = lp.wv(h, **akw).reshape(b, l, n_kv, cfg.head_dim)
     q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
     k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
     # per-sequence write offsets: vmapped dynamic-update-slice over the batch
@@ -663,11 +668,11 @@ def _layer_forward(
         y = _reduce(moe_forward(lp.moe, cfg, h, axis_name=axis_name), None)
     else:
         if lp.w_gateup is not None:
-            gu = lp.w_gateup(h)
+            gu = lp.w_gateup(h, **akw)
             gate, up = jnp.split(gu, 2, axis=-1)
         else:
-            gate = lp.w_gate(h)
-            up = lp.w_up(h)
+            gate = lp.w_gate(h, **akw)
+            up = lp.w_up(h, **akw)
         wd, wd_bias = _split_bias(lp.w_down, axis_name)
         y = _reduce(_row_parallel(wd, _act(cfg, gate).astype(up.dtype) * up), wd_bias)
     if lp.post_mlp_norm is not None:
@@ -680,11 +685,23 @@ def _split_bias(q: QuantLinear, axis_name: str | None):
     """Row-parallel layers must add bias AFTER the psum (once, not per shard)."""
     if axis_name is None or q.bias is None:
         return q, None
-    from .linear import LoRALinear
+    from .linear import LoRALinear, MultiLoRALinear
 
-    if isinstance(q, LoRALinear):  # bias lives on the base
+    if isinstance(q, (LoRALinear, MultiLoRALinear)):  # bias lives on the base
         return dataclasses.replace(q, base=dataclasses.replace(q.base, bias=None)), q.bias
     return dataclasses.replace(q, bias=None), q.bias
+
+
+def has_multi_lora(params: ModelParams) -> bool:
+    """True when any layer linear is a MultiLoRALinear (per-row adapter
+    stacks) — such params require ``adapter_idx`` at every forward."""
+    from .linear import MultiLoRALinear
+
+    return any(
+        isinstance(getattr(lp, f), MultiLoRALinear)
+        for lp in params.layers
+        for f in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+    )
 
 
 def forward(
@@ -695,6 +712,7 @@ def forward(
     positions: jax.Array | None = None,  # (B, L); default arange from cache.length
     last_only: bool = False,  # lm_head only on the final position (prefill)
     last_index: jax.Array | None = None,  # lm_head only on position last_index
+    adapter_idx: jax.Array | None = None,  # (B,) per-row LoRA adapter index
 ) -> tuple[jax.Array, KVCache]:
     """Run L tokens through the model, appending to the cache.
 
@@ -702,7 +720,19 @@ def forward(
     (L>1, cache empty) and decode (L=1) alike — under jit these trace to two
     separate specialized programs, the TPU analogue of the reference's
     runtime GEMV/GEMM dispatch (torch_bnb_fp4/__init__.py:592-617).
+
+    ``adapter_idx``: (B,) i32 per-row LoRA adapter selection for
+    MultiLoRALinear-wrapped params (models/lora.attach_multi_lora); REQUIRED
+    exactly when the params carry multi-adapter stacks (a silent mismatch in
+    either direction would serve the wrong weights).
     """
+    if adapter_idx is None and has_multi_lora(params):
+        raise ValueError(
+            "params carry MultiLoRALinear adapters: forward() needs "
+            "adapter_idx ((B,) i32; 0 = no adapter)"
+        )
+    if adapter_idx is not None and not has_multi_lora(params):
+        raise ValueError("adapter_idx given but params have no MultiLoRALinear")
     b, l = tokens.shape
     max_len = cache.max_len
     if positions is None:
@@ -719,7 +749,7 @@ def forward(
     for i, lp in enumerate(params.layers):
         x, kc, vc = _layer_forward(
             lp, cfg, x, positions, cache.k[i], cache.v[i], cache.length,
-            kv_positions, kv_valid, layer_idx=i,
+            kv_positions, kv_valid, layer_idx=i, adapter_idx=adapter_idx,
         )
         ks.append(kc)
         vs.append(vc)

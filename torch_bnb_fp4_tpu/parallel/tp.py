@@ -123,21 +123,27 @@ _ROW = dict(packed=P(MODEL_AXIS, None), absmax_hi=P(MODEL_AXIS, None), absmax_lo
 _ROW_PARALLEL = ("wo", "w_down")
 
 
-def _ql_field_spec(path) -> P:
+def _ql_field_spec(path, leaf=None) -> P:
     """Spec for one leaf of a QuantLinear given its tree path."""
     names = [getattr(k, "name", None) for k in path]
     field = names[-1]
     parent = names[-2] if len(names) >= 2 else None
     if parent == "base":  # LoRALinear wraps the target; the TARGET name decides
         parent = names[-3]
+    if field == "scale":  # MultiLoRALinear per-adapter (L,) scales: replicated
+        return P(None)
     if field in ("a", "b"):
         # LoRA factors (models/linear.LoRALinear): column-parallel targets
         # replicate a / shard b's output dim; row-parallel targets shard a's
-        # input dim (delta partials ride the base's psum) / replicate b
+        # input dim (delta partials ride the base's psum) / replicate b.
+        # MultiLoRALinear stacks add a leading adapter axis, replicated.
         row = parent in _ROW_PARALLEL
+        stacked = leaf is not None and leaf.ndim == 3
         if field == "a":
-            return P(MODEL_AXIS, None) if row else P(None, None)
-        return P(None, None) if row else P(None, MODEL_AXIS)
+            spec = P(MODEL_AXIS, None) if row else P(None, None)
+        else:
+            spec = P(None, None) if row else P(None, MODEL_AXIS)
+        return P(None, *spec) if stacked else spec
     table = _ROW if parent in _ROW_PARALLEL else _COL
     return table[field]
 
@@ -182,8 +188,8 @@ def param_specs(params: T.ModelParams) -> T.ModelParams:
                 return P(None, MODEL_AXIS)  # DenseLinear, vocab-sharded
             if names[-1] == "bias":
                 return P(MODEL_AXIS)
-            return _ql_field_spec(path)  # quantized lm_head: column-parallel
-        return _ql_field_spec(path)
+            return _ql_field_spec(path, leaf)  # quantized lm_head: column-parallel
+        return _ql_field_spec(path, leaf)
 
     return jax.tree_util.tree_map_with_path(spec, params)
 
@@ -285,10 +291,13 @@ def _localize_params(params: T.ModelParams, cfg: T.ModelConfig, tp: int) -> T.Mo
     )
 
 
-def _tp_body(params, tokens, cache, last_index, cfg: T.ModelConfig, tp: int):
+def _tp_body(params, tokens, cache, last_index, cfg: T.ModelConfig, tp: int,
+             adapter_idx=None):
     """Per-device forward: tokens (b_loc, L) -> (logits (b_loc, L, V/tp), cache).
     ``last_index`` None -> logits for all L positions; else a scalar position
-    p -> logits only for position p (prefill lm_head economy)."""
+    p -> logits only for position p (prefill lm_head economy).
+    ``adapter_idx``: (b_loc,) per-row LoRA adapter (MultiLoRALinear stacks
+    replicate over the model axis; the index shards with the batch)."""
     params = _localize_params(params, cfg, tp)
     b, l = tokens.shape
     max_len = cache.max_len
@@ -304,6 +313,7 @@ def _tp_body(params, tokens, cache, last_index, cfg: T.ModelConfig, tp: int):
         x, kc, vc = T._layer_forward(
             lp, cfg, x, positions, cache.k[i], cache.v[i], cache.length,
             kv_positions, kv_valid, axis_name=MODEL_AXIS, layer_idx=i,
+            adapter_idx=adapter_idx,
         )
         ks.append(kc)
         vs.append(vc)
@@ -320,7 +330,8 @@ def _tp_body(params, tokens, cache, last_index, cfg: T.ModelConfig, tp: int):
 
 
 def tp_forward_fn(params: T.ModelParams, cfg: T.ModelConfig, cache: T.KVCache, mesh: Mesh,
-                  data_sharded: bool = True, with_last_index: bool = False):
+                  data_sharded: bool = True, with_last_index: bool = False,
+                  with_adapter_idx: bool = False):
     """Build the shard_map'd forward for this param/cache structure.
 
     Returned fn: (params, tokens (B, L), cache) -> (logits (B, L, V) sharded
@@ -329,15 +340,25 @@ def tp_forward_fn(params: T.ModelParams, cfg: T.ModelConfig, cache: T.KVCache, m
     ``data_sharded=False`` replicates the batch over the data axis (the
     engine's per-request prefill program).  ``with_last_index=True`` adds a
     trailing scalar arg: the one position to run lm_head on.
+    ``with_adapter_idx=True`` adds a trailing (B,) i32 arg (after last_index
+    when both): the per-row LoRA adapter selection for MultiLoRALinear
+    params; it shards with the batch.
     """
     tp = mesh.shape[MODEL_AXIS]
     pspecs = param_specs(params)
     cspecs = cache_specs(cache, data_sharded=data_sharded)
     batch = DATA_AXIS if data_sharded else None
-    if with_last_index:
+    extra: tuple = ()
+    if with_last_index and with_adapter_idx:
+        body = lambda p, t, c, li, ai: _tp_body(p, t, c, li, cfg=cfg, tp=tp, adapter_idx=ai)
+        extra = (P(), P(batch))
+    elif with_last_index:
         body, extra = partial(_tp_body, cfg=cfg, tp=tp), (P(),)
+    elif with_adapter_idx:
+        body = lambda p, t, c, ai: _tp_body(p, t, c, None, cfg=cfg, tp=tp, adapter_idx=ai)
+        extra = (P(batch),)
     else:
-        body, extra = lambda p, t, c: _tp_body(p, t, c, None, cfg=cfg, tp=tp), ()
+        body = lambda p, t, c: _tp_body(p, t, c, None, cfg=cfg, tp=tp)
     return shard_map(
         body,
         mesh=mesh,

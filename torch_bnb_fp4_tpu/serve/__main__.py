@@ -45,9 +45,12 @@ def main() -> None:
                          " after the data axis takes process count)")
     ap.add_argument("--kv-dtype", default="bfloat16",
                     choices=["bfloat16", "float8_e4m3fn"])
-    ap.add_argument("--lora", default=None, metavar="DIR",
+    ap.add_argument("--lora", action="append", default=None, metavar="DIR|NAME=DIR",
                     help="HF PEFT LoRA adapter dir to serve over the base "
-                         "(exact low-rank delta; base bytes untouched)")
+                         "(exact low-rank delta; base bytes untouched).  "
+                         "Repeatable as NAME=DIR for multi-adapter serving: "
+                         "requests then pick an adapter with {'adapter': "
+                         "NAME} (omitted = base model)")
     ap.add_argument("--lora-merge", action="store_true",
                     help="fold the --lora adapter into the base weights and "
                          "requantize (zero runtime overhead, FP4 envelope on "
@@ -89,14 +92,30 @@ def main() -> None:
         params = quantize_params(cfg, T.random_weights(cfg, seed=0))
         logging.info("no --ckpt: serving a tiny random-weight model")
 
+    adapter_ids = None
     if args.lora:
-        from ..models import attach_lora, load_peft_adapter, merge_lora
+        from ..models import (attach_lora, attach_multi_lora,
+                              load_peft_adapter, merge_lora)
 
-        adapter = load_peft_adapter(args.lora)
-        params = (merge_lora if args.lora_merge else attach_lora)(params, cfg, adapter)
-        logging.info("%s LoRA adapter %s (r=%d, alpha=%g, %d modules)",
-                     "merged" if args.lora_merge else "attached", args.lora,
-                     adapter.r, adapter.alpha, len(adapter.weights))
+        if len(args.lora) > 1 or "=" in args.lora[0]:
+            # multi-adapter serving: every --lora must be NAME=DIR
+            named = {}
+            for spec in args.lora:
+                if "=" not in spec:
+                    ap.error(f"multi-adapter --lora needs NAME=DIR, got {spec!r}")
+                name, path = spec.split("=", 1)
+                named[name] = load_peft_adapter(path)
+            if args.lora_merge:
+                ap.error("--lora-merge only applies to a single unnamed --lora")
+            params, adapter_ids = attach_multi_lora(params, cfg, named)
+            logging.info("attached %d LoRA adapters for per-request serving: %s",
+                         len(named), sorted(adapter_ids))
+        else:
+            adapter = load_peft_adapter(args.lora[0])
+            params = (merge_lora if args.lora_merge else attach_lora)(params, cfg, adapter)
+            logging.info("%s LoRA adapter %s (r=%d, alpha=%g, %d modules)",
+                         "merged" if args.lora_merge else "attached", args.lora[0],
+                         adapter.r, adapter.alpha, len(adapter.weights))
 
     if args.multihost:
         validate_tp(cfg, n_model)
@@ -111,7 +130,7 @@ def main() -> None:
         top_p=args.top_p, top_k=args.top_k, prefill_chunk=args.prefill_chunk,
         spec_tokens=args.spec_tokens, prefix_cache=args.prefix_cache,
         kv_dtype=args.kv_dtype, logprobs=args.logprobs,
-    ), mesh=mesh)
+    ), mesh=mesh, adapter_ids=adapter_ids)
     if args.warmup_prompt_len:
         logging.info("warming up (prompts to %d)...", args.warmup_prompt_len)
         eng.warmup(max_prompt_len=args.warmup_prompt_len)

@@ -53,6 +53,10 @@ class Request:
     # sampling engine makes just this request greedy.
     temperature: float | None = None
     top_p: float | None = None
+    # LoRA adapter name for this request (multi-adapter serving: the engine
+    # was built with adapter_ids from models.attach_multi_lora).  None = the
+    # base model.  Unknown names fail at submit().
+    adapter: str | None = None
 
 
 @dataclasses.dataclass
@@ -190,16 +194,29 @@ class Engine:
     """
 
     def __init__(self, params: T.ModelParams, cfg: T.ModelConfig, ecfg: EngineConfig, mesh=None,
-                 on_token=None):
+                 on_token=None, adapter_ids: dict[str, int] | None = None):
         """``on_token``: optional callback ``(uid, token_id)`` invoked for every
         emitted token (prefill first token + each decoded token) — the
         streaming hook (the reference demo streams through HF's
-        TextStreamer, speed_test_mistral_7b.py:106-130)."""
+        TextStreamer, speed_test_mistral_7b.py:106-130).
+
+        ``adapter_ids``: name -> index map from models.attach_multi_lora when
+        ``params`` carry per-request LoRA stacks (MultiLoRALinear); requests
+        then pick an adapter by name (Request.adapter).  Every program gains a
+        per-row adapter-index operand — runtime data, so the program count is
+        unchanged."""
         self.on_token = on_token
         self.params = params
         self.cfg = cfg
         self.ecfg = ecfg
         self.mesh = mesh
+        self.adapter_ids = dict(adapter_ids) if adapter_ids else None
+        self._mlora = self.adapter_ids is not None
+        if self._mlora != T.has_multi_lora(params):
+            raise ValueError(
+                "params and adapter_ids disagree: pass BOTH results of "
+                "attach_multi_lora (params and ids) or neither"
+            )
         b, ml = ecfg.max_batch, ecfg.max_len
         self._kv_dtype = jnp.dtype(ecfg.kv_dtype)
         cache = T.KVCache.zeros(cfg, b, ml, dtype=self._kv_dtype)
@@ -216,14 +233,27 @@ class Engine:
                     f"max_batch {b} must divide over data axis {mesh.shape[DATA_AXIS]}"
                 )
             cache = shard_cache(cache, mesh)
-            self._fwd = tp_forward_fn(params, cfg, cache, mesh)
-            self._fwd_prefill = tp_forward_fn(
+            # every _fwd takes a trailing adapter-index arg; engines without
+            # multi-LoRA drop it (jit prunes the dead operand)
+            fwd0 = tp_forward_fn(params, cfg, cache, mesh,
+                                 with_adapter_idx=self._mlora)
+            pf0 = tp_forward_fn(
                 params, cfg, T.KVCache.zeros(cfg, 1, 32), mesh,
                 data_sharded=False, with_last_index=True,
+                with_adapter_idx=self._mlora,
             )
+            if self._mlora:
+                self._fwd, self._fwd_prefill = fwd0, pf0
+            else:
+                self._fwd = lambda p, t, c, a: fwd0(p, t, c)
+                self._fwd_prefill = lambda p, t, c, li, a: pf0(p, t, c, li)
+        elif self._mlora:
+            self._fwd = lambda p, t, c, a: T.forward(p, cfg, t, c, adapter_idx=a)
+            self._fwd_prefill = lambda p, t, c, li, a: T.forward(
+                p, cfg, t, c, last_index=li, adapter_idx=a)
         else:
-            self._fwd = lambda p, t, c: T.forward(p, cfg, t, c)
-            self._fwd_prefill = lambda p, t, c, li: T.forward(p, cfg, t, c, last_index=li)
+            self._fwd = lambda p, t, c, a: T.forward(p, cfg, t, c)
+            self._fwd_prefill = lambda p, t, c, li, a: T.forward(p, cfg, t, c, last_index=li)
         self.cache = cache
 
         # host-side slot state
@@ -236,6 +266,8 @@ class Engine:
         # per-slot sampling values (request overrides resolved at admission)
         self.slot_temp = np.full(b, ecfg.temperature, np.float32)
         self.slot_tp = np.full(b, ecfg.top_p, np.float32)
+        # per-slot LoRA adapter index (0 = base model)
+        self.slot_aidx = np.zeros(b, np.int32)
         self.pending: deque[Request] = deque()
         self.completions: list[Completion] = []
         self._completed = 0  # cumulative (completions may be trimmed by a server)
@@ -365,7 +397,7 @@ class Engine:
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         return jnp.take_along_axis(lp, tok[:, None].astype(jnp.int32), axis=-1)[:, 0]
 
-    def _decode_fn(self, params, tokens, cache, active, key, temp, top_p, *, n):
+    def _decode_fn(self, params, tokens, cache, active, key, temp, top_p, aidx, *, n):
         """``n`` batched decode steps in ONE program (inner lax.scan): n
         tokens per slot per host round-trip.  ``active`` (B',) bool: inactive
         slots have their cache length reset to 0 first, so an idle slot's
@@ -386,7 +418,7 @@ class Engine:
 
         def body(carry, k):
             tok, sub = carry
-            logits, sub = self._fwd(params, tok[:, None], sub)
+            logits, sub = self._fwd(params, tok[:, None], sub, aidx)
             nxt = self._select(logits[:, -1], k, temp, top_p)
             y = (nxt, self._lp_of(logits[:, -1], nxt)) if self.ecfg.logprobs else nxt
             return (nxt, sub), y
@@ -401,7 +433,7 @@ class Engine:
         )
         return (toks.T, None if lps is None else lps.T), cache
 
-    def _spec_fn(self, params, tokens, cache, active, hist, hlen, *, s):
+    def _spec_fn(self, params, tokens, cache, active, hist, hlen, aidx, *, s):
         """``s`` speculative decode steps in ONE program.  Per step, per slot:
         draft k tokens by prompt lookup in the device-resident token history,
         run current+draft through one (B', k+1) forward, accept the longest
@@ -428,7 +460,7 @@ class Engine:
             cur, sub, hist, hlen = carry
             draft = jax.vmap(partial(prompt_lookup_draft, k=k, n=n))(hist, hlen)
             inp = jnp.concatenate([cur[:, None], draft], axis=1)  # (bp, k+1)
-            logits, sub = self._fwd(params, inp, sub)
+            logits, sub = self._fwd(params, inp, sub, aidx)
             choice = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (bp, k+1)
             hit = (choice[:, :-1] == draft).astype(jnp.int32)
             m = jnp.sum(jnp.cumprod(hit, axis=1), axis=1)  # accepted drafts
@@ -454,7 +486,7 @@ class Engine:
         )
         return toks, cnts, cache
 
-    def _prefill_fn(self, params, tokens, cache, slot, true_len, key, temp, top_p):
+    def _prefill_fn(self, params, tokens, cache, slot, true_len, key, temp, top_p, aidx):
         """Run batch-1 prefill (length-bucketed padding) and splice its KV
         rows into ``slot``.  ``tokens`` (1, Lp_pad); rows past ``true_len``
         are garbage but masked forever by kv_valid (< length).  lm_head runs
@@ -463,7 +495,7 @@ class Engine:
         self.traces["prefill"] += 1  # Python body runs once per trace
         lp_pad = tokens.shape[1]
         small = T.KVCache.zeros(self.cfg, 1, lp_pad, dtype=self._kv_dtype)
-        logits, small = self._fwd_prefill(params, tokens, small, true_len - 1)
+        logits, small = self._fwd_prefill(params, tokens, small, true_len - 1, aidx)
         ks, vs = [], []
         for i in range(self.cfg.n_layers):
             ks.append(jax.lax.dynamic_update_slice(cache.k[i], small.k[i], (slot, 0, 0, 0)))
@@ -473,13 +505,13 @@ class Engine:
         lp0 = self._lp_of(logits[:, -1], first[None])[0] if self.ecfg.logprobs else None
         return (first, lp0), T.KVCache(k=ks, v=vs, length=length)
 
-    def _chunk_fn(self, params, tokens, small, last_index, key, temp, top_p):
+    def _chunk_fn(self, params, tokens, small, last_index, key, temp, top_p, aidx):
         """One prefill CHUNK on a private batch-1 cache: forward writes this
         chunk's KV at small.length and advances it; ``last_index`` is the
         chunk-local position of the prompt's true last token (only the final
         chunk's sample is used)."""
         self.traces["prefill"] += 1
-        logits, small = self._fwd_prefill(params, tokens, small, last_index)
+        logits, small = self._fwd_prefill(params, tokens, small, last_index, aidx)
         first = self._select(logits[:, -1], key, temp, top_p)[0]
         lp0 = self._lp_of(logits[:, -1], first[None])[0] if self.ecfg.logprobs else None
         return (first, lp0), small
@@ -580,18 +612,22 @@ class Engine:
             self.slot_cur[dst] = self.slot_cur[hi]
             self.slot_temp[dst] = self.slot_temp[hi]
             self.slot_tp[dst] = self.slot_tp[hi]
+            self.slot_aidx[dst] = self.slot_aidx[hi]
             self._slots_dirty = True
             log.debug("compact slot %d -> %d", hi, dst)
 
-    def _resolve_sampling(self, req: Request, slot: int) -> tuple[jax.Array, jax.Array]:
-        """Record a request's sampling overrides on its slot; returns the
-        (1,) arrays for its prefill-select."""
+    def _resolve_sampling(self, req: Request, slot: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Record a request's sampling overrides + adapter on its slot;
+        returns the (1,) arrays for its prefill-select."""
         t = self.ecfg.temperature if req.temperature is None else req.temperature
         p = self.ecfg.top_p if req.top_p is None else req.top_p
+        aid = 0 if req.adapter is None else self.adapter_ids[req.adapter]
         self.slot_temp[slot] = t
         self.slot_tp[slot] = p
+        self.slot_aidx[slot] = aid
         self._slots_dirty = True
-        return jnp.asarray([t], jnp.float32), jnp.asarray([p], jnp.float32)
+        return (jnp.asarray([t], jnp.float32), jnp.asarray([p], jnp.float32),
+                jnp.asarray([aid], jnp.int32))
 
     def _admit_chunked(self) -> None:
         """Advance the in-flight prefill by ONE chunk (and start a new one
@@ -633,10 +669,10 @@ class Engine:
         real = req.prompt[lo:hi]
         toks[0, : len(real)] = real
         li = min(lp, hi) - 1 - lo  # chunk-local true-last position (final chunk)
-        st, sp = self._resolve_sampling(req, pf["slot"])
+        st, sp, sa = self._resolve_sampling(req, pf["slot"])
         (first, lp0), pf["small"] = self._chunk(
             self.params, jnp.asarray(toks), pf["small"], jnp.int32(li), self._next_key(),
-            st, sp,
+            st, sp, sa,
         )
         pf["done"] = hi
         if hi < lp:
@@ -684,6 +720,13 @@ class Engine:
                     "engine compiled without a nucleus path (EngineConfig.top_p == "
                     "1.0); a per-request top_p cannot enable it — start the "
                     "engine/server with top_p < 1")
+        if req.adapter is not None:
+            if not self.adapter_ids or req.adapter not in self.adapter_ids:
+                known = sorted(self.adapter_ids) if self.adapter_ids else []
+                raise ValueError(
+                    f"unknown adapter {req.adapter!r} (engine has {known}); "
+                    "build the engine with attach_multi_lora's adapter_ids"
+                )
         self._submit_t[req.uid] = time.perf_counter()
         self.pending.append(req)
 
@@ -756,6 +799,7 @@ class Engine:
         key = jax.random.PRNGKey(0)
         t1 = jnp.full((1,), self.ecfg.temperature, jnp.float32)
         p1 = jnp.full((1,), self.ecfg.top_p, jnp.float32)
+        a1 = jnp.zeros((1,), jnp.int32)
         C = self.ecfg.prefill_chunk
         for lp_pad in buckets:
             if C:
@@ -767,14 +811,14 @@ class Engine:
                     hi = min(lo + C, lp_pad)
                     _, small = self._chunk(
                         self.params, jnp.zeros((1, hi - lo), jnp.int32), small,
-                        jnp.int32(0), key, t1, p1,
+                        jnp.int32(0), key, t1, p1, a1,
                     )
                     lo = hi
                 self.cache = self._splice(self.cache, small, jnp.int32(0), jnp.int32(1))
                 continue
             toks = jnp.zeros((1, lp_pad), jnp.int32)
             first, self.cache = self._prefill(
-                self.params, toks, self.cache, jnp.int32(0), jnp.int32(1), key, t1, p1
+                self.params, toks, self.cache, jnp.int32(0), jnp.int32(1), key, t1, p1, a1
             )
         if self.ecfg.prefix_cache:
             # forked-admission programs: the per-bucket fork, plus (in
@@ -788,7 +832,7 @@ class Engine:
                     for w in sorted(widths):
                         _, small = self._chunk(
                             self.params, jnp.zeros((1, w), jnp.int32),
-                            small, jnp.int32(0), key, t1, p1,
+                            small, jnp.int32(0), key, t1, p1, a1,
                         )
                     self.cache = self._splice(self.cache, small, jnp.int32(0), jnp.int32(1))
         if self.ecfg.batch_buckets:
@@ -808,9 +852,10 @@ class Engine:
             mask = jnp.zeros((bb,), bool)
             tb = jnp.full((bb,), self.ecfg.temperature, jnp.float32)
             pb = jnp.full((bb,), self.ecfg.top_p, jnp.float32)
+            ab = jnp.zeros((bb,), jnp.int32)
             while n <= self.ecfg.inner_steps:
                 toks, self.cache = self._decode(
-                    self.params, dummy, self.cache, mask, key, tb, pb, n=n
+                    self.params, dummy, self.cache, mask, key, tb, pb, ab, n=n
                 )
                 n *= 2
             if self.ecfg.spec_tokens:
@@ -821,7 +866,7 @@ class Engine:
                 s, kk = 1, self.ecfg.spec_tokens
                 while s <= self.ecfg.inner_steps and s * (kk + 1) <= self.ecfg.max_len:
                     toks, _, self.cache = self._spec(
-                        self.params, dummy, self.cache, mask, hist, hlen, s=s
+                        self.params, dummy, self.cache, mask, hist, hlen, ab, s=s
                     )
                     s *= 2
         jax.block_until_ready(toks)
@@ -842,7 +887,7 @@ class Engine:
             req = self.pending.popleft()
             lp = len(req.prompt)
             lp_pad = self._bucket(lp)
-            st, sp = self._resolve_sampling(req, slot)
+            st, sp, sa = self._resolve_sampling(req, slot)
             donor = (
                 self._find_prefix_donor(req.prompt, 32)
                 if self.ecfg.prefix_cache else None
@@ -863,7 +908,7 @@ class Engine:
                     li = min(lp, hi) - 1 - lo
                     (first, lp0), small = self._chunk(
                         self.params, jnp.asarray(toks), small, jnp.int32(li),
-                        self._next_key(), st, sp,
+                        self._next_key(), st, sp, sa,
                     )
                     lo = hi
                 self.cache = self._splice(
@@ -878,7 +923,7 @@ class Engine:
                 padded[0, :lp] = req.prompt
                 (first, lp0), self.cache = self._prefill(
                     self.params, jnp.asarray(padded), self.cache,
-                    jnp.int32(slot), jnp.int32(lp), self._next_key(), st, sp,
+                    jnp.int32(slot), jnp.int32(lp), self._next_key(), st, sp, sa,
                 )
             first = int(self._host_fetch(first))
             self.slot_req[slot] = req
@@ -973,8 +1018,9 @@ class Engine:
                 jnp.asarray(mask),
                 jnp.asarray(self.slot_temp[:bp]),
                 jnp.asarray(self.slot_tp[:bp]),
+                jnp.asarray(self.slot_aidx[:bp]),
             )
-        mask_d, temp_d, tp_d = self._dev_slots[bp]
+        mask_d, temp_d, tp_d, aidx_d = self._dev_slots[bp]
 
         lps = None  # per-token logprobs from the plain decode path only
         k = self.ecfg.spec_tokens
@@ -993,7 +1039,7 @@ class Engine:
                 hlen[i] = len(seq)
             toks3, cnts, self.cache = self._spec(
                 self.params, tokens, self.cache, mask_d,
-                jnp.asarray(hist), jnp.asarray(hlen), s=s,
+                jnp.asarray(hist), jnp.asarray(hlen), aidx_d, s=s,
             )
             toks3 = self._host_fetch(toks3)
             cnts = self._host_fetch(cnts)
@@ -1011,7 +1057,7 @@ class Engine:
         else:
             (toks, lps), self.cache = self._decode(
                 self.params, tokens, self.cache, mask_d, self._next_key(),
-                temp_d, tp_d, n=n,
+                temp_d, tp_d, aidx_d, n=n,
             )
             toks = self._host_fetch(toks)  # device sync: tick latency includes it
             if lps is not None:

@@ -17,7 +17,9 @@ Endpoints
 ---------
   POST /v1/completions   {"prompt": [token ids], "max_tokens": N,
                           "temperature"?: f, "top_p"?: f, "eos_id"?: id,
-                          "stop_ids"?: [ids], "stream"?: bool}
+                          "stop_ids"?: [ids], "stream"?: bool,
+                          "adapter"?: name}  (multi-LoRA serving: pick the
+      request's adapter by name; unknown names are a 400)
       Sampling overrides an engine cannot honor are REJECTED with 400 (the
       sampling program structure is compiled per EngineConfig: a greedy
       server — the CLI default — cannot enable per-request sampling; start
@@ -143,6 +145,7 @@ class EngineServer:
             stop_ids=stop_ids,
             temperature=body.get("temperature"),
             top_p=body.get("top_p"),
+            adapter=body.get("adapter"),
         )
         self._subq.put(req)
         return uid, p
