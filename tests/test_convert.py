@@ -67,6 +67,26 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
 
 
+def test_checkpoint_roundtrip_qk_norm(tmp_path):
+    """Qwen3 per-head q/k norms survive the checkpoint round-trip (format v3)
+    — the loaded model's logits are bit-identical and the norm arrays are
+    present, so an old reader could never silently drop them."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, qk_norm=True)
+    weights = T.random_weights(cfg, seed=7)
+    params = quantize_params(cfg, weights)
+    save_checkpoint(str(tmp_path / "ckpt"), cfg, params)
+    cfg2, params2 = load_checkpoint(str(tmp_path / "ckpt"))
+    assert cfg2 == cfg and cfg2.qk_norm
+    assert params2.layers[0].q_norm is not None
+    assert params2.layers[0].k_norm.shape == (cfg.head_dim,)
+    tokens = jnp.asarray([[1, 2, 3]], jnp.int32)
+    l1, _ = forward(params, cfg, tokens, KVCache.zeros(cfg, 1, 3))
+    l2, _ = forward(params2, cfg2, tokens, KVCache.zeros(cfg2, 1, 3))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
 def test_checkpoint_version_gate(tmp_path):
     """A checkpoint from a NEWER (unknown) format version fails with an
     informative ValueError naming the version, not an opaque KeyError; every

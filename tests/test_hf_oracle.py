@@ -50,6 +50,12 @@ FAMILIES = {
         transformers.Qwen2Config, transformers.Qwen2ForCausalLM,
         _small(),  # qwen2 carries q/k/v biases by default
     ),
+    "qwen3": (
+        transformers.Qwen3Config, transformers.Qwen3ForCausalLM,
+        # per-head q/k RMSNorm before RoPE (qk_norm); head_dim is an explicit
+        # config field in Qwen3 (decoupling itself is exercised by gemma)
+        _small(head_dim=32),
+    ),
     "gemma": (
         transformers.GemmaConfig, transformers.GemmaForCausalLM,
         # decoupled head_dim (4 x 64 != dim 128), GeGLU, (1+w) norms,

@@ -45,12 +45,34 @@ def test_mesh_has_8_devices():
     ("mistral_7b", (2, 4, 8)),
     ("tinyllama_1b", (2,)),  # kv_dim 256: tp=4 would leave 64-lane shards
     ("llama2_70b", (2, 4, 8)),  # BASELINE config 5 geometry
+    ("qwen3_8b", (2, 4, 8)),  # kv_dim 1024: 128-lane shards at tp=8
 ])
 def test_model_zoo_geometries_shard(name, tps):
     cfg = getattr(ModelConfig, name)()
     for tp in tps:
         validate_tp(cfg, tp)
     assert cfg.dim == cfg.n_heads * cfg.head_dim
+
+
+def test_tp_forward_qk_norm_matches_single_device():
+    """Qwen3 per-head q/k norms under TP: the (head_dim,) norm weights
+    replicate (param_specs) and apply to LOCAL head shards identically —
+    sharded logits track the single-device oracle."""
+    cfg = ModelConfig.tiny_test(qk_norm=True)
+    w = T.random_weights(cfg, seed=5)
+    validate_tp(cfg, 2)
+    mesh = make_mesh(n_model=2, n_data=1)
+    params_1 = quantize_params(cfg, w)
+    params_tp = shard_params(quantize_params_tp(cfg, w, tp=2), mesh)
+
+    tokens = jnp.asarray([[3, 1, 4, 1, 5]], jnp.int32)
+    ref, _ = forward(params_1, cfg, tokens, KVCache.zeros(cfg, 1, 8))
+    cache = shard_cache(KVCache.zeros(cfg, 1, 8), mesh)
+    fwd = tp_forward_fn(params_tp, cfg, cache, mesh)
+    logits, _ = jax.jit(fwd)(params_tp, tokens, cache)
+    got, ref = np.asarray(logits), np.asarray(ref)
+    assert np.abs(got - ref).max() < 0.05, np.abs(got - ref).max()
+    assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.999
 
 
 @pytest.mark.parametrize("n_data,n_model", [(1, 4), (2, 4), (1, 2)])

@@ -82,6 +82,38 @@ def test_qwen2_style_attn_bias(setup):
     assert np.abs(np.asarray(got0) - ref).mean() > 5 * np.abs(close(quantize_params(cfg, weights)) - ref).mean()
 
 
+def test_qwen3_style_qk_norm(setup):
+    """qk_norm=True (Qwen3 family): per-head q/k RMSNorm applied before RoPE
+    flows through quantize and QKV fusion, tracking the bf16 reference.  A
+    model that skips the norm (same weights, qk_norm=False) must NOT match —
+    guards against the norm being silently dropped (HF equivalence itself is
+    pinned in tests/test_hf_oracle.py::test_dense_matches_hf[qwen3])."""
+    del setup
+    cfg = ModelConfig.tiny_test(qk_norm=True)
+    weights = random_weights(cfg, seed=13)
+    tokens = jnp.asarray(np.arange(8, dtype=np.int32).reshape(1, 8) % cfg.vocab_size)
+    ref = np.asarray(reference_forward(cfg, weights, tokens))
+
+    def run(params, c=cfg):
+        got, _ = forward(params, c, tokens, KVCache.zeros(c, 1, 8))
+        return np.asarray(got)
+
+    for params in (quantize_params(cfg, weights),
+                   quantize_params(cfg, weights, fuse=True)):
+        got = run(params)
+        assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.9
+    # dropping the norm must visibly break the comparison — measured on the
+    # DENSE path (FP4 noise at this tiny scale would drown the margin)
+    import dataclasses
+
+    from torch_bnb_fp4_tpu.models.transformer import dense_params
+
+    cfg0 = dataclasses.replace(cfg, qk_norm=False)
+    dense_err = np.abs(run(dense_params(cfg, weights)) - ref).mean()
+    drop_err = np.abs(run(dense_params(cfg0, weights), cfg0) - ref).mean()
+    assert drop_err > 5 * max(dense_err, 1e-4), (drop_err, dense_err)
+
+
 def test_fp8_kv_cache_tracks_bf16(setup):
     """float8_e4m3fn KV storage (halved cache memory): logits stay close to
     the bf16-cache forward — the only difference is the per-element cast at

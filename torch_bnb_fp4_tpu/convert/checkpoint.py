@@ -30,10 +30,11 @@ from ..models.transformer import (
 from .quantize import repack_k_shards
 
 # v1: initial format.  v2: adds the 'quant_embed' embed kind (quantized
-# embedding tables).  Readers accept every version in _SUPPORTED_VERSIONS;
-# writers always stamp the current FORMAT_VERSION.
-FORMAT_VERSION = 2
-_SUPPORTED_VERSIONS = (1, 2)
+# embedding tables).  v3: adds per-layer q_norm/k_norm arrays + the qk_norm
+# config key (Qwen3 family).  Readers accept every version in
+# _SUPPORTED_VERSIONS; writers always stamp the current FORMAT_VERSION.
+FORMAT_VERSION = 3
+_SUPPORTED_VERSIONS = (1, 2, 3)
 _QL_FIELDS = ("packed", "absmax_hi", "absmax_lo", "bias")
 
 
@@ -198,6 +199,9 @@ def save_checkpoint(path: str, cfg: ModelConfig, params: ModelParams) -> None:
         if lp.post_attn_norm is not None:  # Gemma-2 post-norms
             arrays[f"layers.{i}.post_attn_norm"] = np.asarray(lp.post_attn_norm)
             arrays[f"layers.{i}.post_mlp_norm"] = np.asarray(lp.post_mlp_norm)
+        if lp.q_norm is not None:  # Qwen3 per-head q/k norms
+            arrays[f"layers.{i}.q_norm"] = np.asarray(lp.q_norm)
+            arrays[f"layers.{i}.k_norm"] = np.asarray(lp.k_norm)
         meta: dict = {"kind": "layer", "linears": {}}
         attn_fields = ("wq", "wk", "wv", "wo")
         mlp_fields = () if lp.moe is not None else ("w_gate", "w_up", "w_down")
@@ -269,6 +273,9 @@ def load_checkpoint(path: str, tp: int = 1, fuse: bool = False) -> tuple[ModelCo
         if f"layers.{i}.post_attn_norm" in a:  # Gemma-2 post-norms
             kw["post_attn_norm"] = jnp.asarray(a[f"layers.{i}.post_attn_norm"])
             kw["post_mlp_norm"] = jnp.asarray(a[f"layers.{i}.post_mlp_norm"])
+        if f"layers.{i}.q_norm" in a:  # Qwen3 per-head q/k norms
+            kw["q_norm"] = jnp.asarray(a[f"layers.{i}.q_norm"])
+            kw["k_norm"] = jnp.asarray(a[f"layers.{i}.k_norm"])
         layers.append(LayerParams(
             attn_norm=jnp.asarray(a[f"layers.{i}.attn_norm"]),
             mlp_norm=jnp.asarray(a[f"layers.{i}.mlp_norm"]),

@@ -66,6 +66,9 @@ def config_from_hf_dict(hf: dict, **overrides) -> ModelConfig:
     if hf.get("model_type", "").startswith("gemma"):
         kw["norm_offset"] = True
         kw["embed_scale"] = True
+    # Qwen3 family: per-head q/k RMSNorm (HF Qwen3Attention q_norm/k_norm)
+    if hf.get("model_type", "").startswith("qwen3"):
+        kw["qk_norm"] = True
     if hf.get("model_type") == "gemma2":
         # Gemma-2: post-norms, logit softcaps, alternating sliding/global
         # attention, decoupled attention scale
@@ -239,6 +242,9 @@ def quantize_hf_weights(
         if pan is not None:
             mlp.update(post_attn_norm=norm(p + pan + ".weight"),
                        post_mlp_norm=norm(p + pmn + ".weight"))
+        if cfg.qk_norm:
+            mlp.update(q_norm=norm(p + "self_attn.q_norm.weight"),
+                       k_norm=norm(p + "self_attn.k_norm.weight"))
         layers.append(LayerParams(
             attn_norm=norm(p + an + ".weight"),
             wq=ql(p + "self_attn.q_proj"),
@@ -602,6 +608,9 @@ def convert_hf_model(
         if pan is not None:
             arrays[f"layers.{i}.post_attn_norm"] = _np_bf16(t[p + pan + ".weight"])
             arrays[f"layers.{i}.post_mlp_norm"] = _np_bf16(t[p + pmn + ".weight"])
+        if cfg.qk_norm:  # Qwen3 per-head q/k norms
+            arrays[f"layers.{i}.q_norm"] = _np_bf16(t[p + "self_attn.q_norm.weight"])
+            arrays[f"layers.{i}.k_norm"] = _np_bf16(t[p + "self_attn.k_norm.weight"])
         meta: dict = {"kind": "layer", "linears": {}}
         fields = dict(_LINEAR_FIELDS)
         if cfg.n_experts:

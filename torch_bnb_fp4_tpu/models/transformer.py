@@ -99,6 +99,11 @@ class ModelConfig:
     final_logit_softcap: float | None = None
     query_pre_attn_scalar: float | None = None
     alt_sliding: bool = False
+    # Qwen3 family: per-head RMSNorm on the q and k projections (HF
+    # Qwen3Attention q_norm/k_norm, weight shape (head_dim,)), applied after
+    # the head reshape and BEFORE RoPE.  Validated against transformers in
+    # tests/test_hf_oracle.py.
+    qk_norm: bool = False
 
     def layer_sliding_window(self, i: int) -> int | None:
         """Per-layer sliding window: Gemma-2 alternates sliding (even i) and
@@ -157,6 +162,16 @@ class ModelConfig:
         return cls(
             vocab_size=152064, dim=3584, n_layers=28, n_heads=28, n_kv_heads=4,
             ffn_dim=18944, rope_theta=1e6, rms_eps=1e-6, attn_bias=True,
+        )
+
+    @classmethod
+    def qwen3_8b(cls) -> "ModelConfig":
+        # Qwen3-8B: per-head q/k RMSNorm (qk_norm), decoupled head_dim field
+        # (128 == dim//n_heads here, but HF always sets it), no attention bias
+        return cls(
+            vocab_size=151936, dim=4096, n_layers=36, n_heads=32, n_kv_heads=8,
+            ffn_dim=12288, rope_theta=1e6, rms_eps=1e-6, head_dim=128,
+            qk_norm=True,
         )
 
     @classmethod
@@ -273,6 +288,9 @@ class LayerParams:
     # Gemma-2 post-norms on the attention / MLP outputs (cfg.post_norms)
     post_attn_norm: Any = None
     post_mlp_norm: Any = None
+    # Qwen3 per-head q/k norms, (head_dim,) bf16 (cfg.qk_norm)
+    q_norm: Any = None
+    k_norm: Any = None
 
 
 @jax.tree_util.register_dataclass
@@ -648,6 +666,9 @@ def _layer_forward(
         q = lp.wq(h, **akw).reshape(b, l, n_heads, cfg.head_dim)
         k = lp.wk(h, **akw).reshape(b, l, n_kv, cfg.head_dim)
         v = lp.wv(h, **akw).reshape(b, l, n_kv, cfg.head_dim)
+    if lp.q_norm is not None:  # Qwen3: per-head q/k RMSNorm before RoPE
+        q = rms_norm(q, lp.q_norm, cfg.rms_eps, cfg.norm_offset)
+        k = rms_norm(k, lp.k_norm, cfg.rms_eps, cfg.norm_offset)
     q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
     k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
     # per-sequence write offsets: vmapped dynamic-update-slice over the batch
@@ -904,6 +925,11 @@ def quantize_params(cfg: ModelConfig, weights: dict[str, np.ndarray], fuse: bool
                 post_attn_norm=jnp.asarray(weights[p + pan + ".weight"], jnp.bfloat16),
                 post_mlp_norm=jnp.asarray(weights[p + pmn + ".weight"], jnp.bfloat16),
             )
+        if cfg.qk_norm:
+            mlp.update(
+                q_norm=jnp.asarray(weights[p + "self_attn.q_norm.weight"], jnp.bfloat16),
+                k_norm=jnp.asarray(weights[p + "self_attn.k_norm.weight"], jnp.bfloat16),
+            )
         layers.append(LayerParams(
             attn_norm=jnp.asarray(weights[p + an + ".weight"], jnp.bfloat16),
             wq=q("self_attn.q_proj"),
@@ -968,6 +994,11 @@ def dense_params(cfg: ModelConfig, weights: dict[str, np.ndarray], dtype=jnp.bfl
                 post_attn_norm=jnp.asarray(weights[p + pan + ".weight"], dtype),
                 post_mlp_norm=jnp.asarray(weights[p + pmn + ".weight"], dtype),
             )
+        if cfg.qk_norm:
+            mlp.update(
+                q_norm=jnp.asarray(weights[p + "self_attn.q_norm.weight"], dtype),
+                k_norm=jnp.asarray(weights[p + "self_attn.k_norm.weight"], dtype),
+            )
         layers.append(LayerParams(
             attn_norm=jnp.asarray(weights[p + an + ".weight"], dtype),
             wq=dl(p + "self_attn.q_proj"),
@@ -1014,6 +1045,9 @@ def random_weights(cfg: ModelConfig, seed: int = 0, scale: float = 0.02) -> dict
             out[p + "self_attn.q_proj.bias"] = w(cfg.q_dim)
             out[p + "self_attn.k_proj.bias"] = w(kv_dim)
             out[p + "self_attn.v_proj.bias"] = w(kv_dim)
+        if cfg.qk_norm:  # Qwen3 per-head q/k norms
+            out[p + "self_attn.q_norm.weight"] = np.ones(cfg.head_dim, np.float32)
+            out[p + "self_attn.k_norm.weight"] = np.ones(cfg.head_dim, np.float32)
         if cfg.n_experts:
             out[p + "block_sparse_moe.gate.weight"] = w(cfg.n_experts, cfg.dim)
             for m in range(cfg.n_experts):
@@ -1057,6 +1091,11 @@ def reference_forward(cfg: ModelConfig, weights: dict[str, np.ndarray], tokens: 
         q = lin(p + "self_attn.q_proj.weight", h).reshape(b, l, cfg.n_heads, cfg.head_dim)
         k = lin(p + "self_attn.k_proj.weight", h).reshape(b, l, cfg.n_kv_heads, cfg.head_dim)
         v = lin(p + "self_attn.v_proj.weight", h).reshape(b, l, cfg.n_kv_heads, cfg.head_dim)
+        if cfg.qk_norm:  # Qwen3 per-head q/k norms, before RoPE
+            q = rms_norm(q, jnp.asarray(weights[p + "self_attn.q_norm.weight"],
+                                        jnp.bfloat16), cfg.rms_eps, cfg.norm_offset)
+            k = rms_norm(k, jnp.asarray(weights[p + "self_attn.k_norm.weight"],
+                                        jnp.bfloat16), cfg.rms_eps, cfg.norm_offset)
         q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
         k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
         attn = _attention(q, k, v, positions, kv_valid, kv_positions,

@@ -176,7 +176,8 @@ def param_specs(params: T.ModelParams) -> T.ModelParams:
     def spec(path, leaf):
         names = [getattr(k, "name", None) for k in path]
         if "embed" in names or "final_norm" in names or names[-1] in (
-            "attn_norm", "mlp_norm", "post_attn_norm", "post_mlp_norm"
+            "attn_norm", "mlp_norm", "post_attn_norm", "post_mlp_norm",
+            "q_norm", "k_norm"
         ):
             return P(*([None] * leaf.ndim))
         if "moe" in names:

@@ -86,6 +86,9 @@ def synth_params(cfg: ModelConfig, *, quantized: bool = True, seed: int = 0, tp:
                 w_up=lin(ks[5], cfg.ffn_dim, cfg.dim),
                 w_down=lin(ks[6], cfg.dim, cfg.ffn_dim, k_shards=tp),
             )
+        if cfg.qk_norm:  # Qwen3 per-head q/k norms
+            mlp.update(q_norm=jnp.ones((cfg.head_dim,), jnp.bfloat16),
+                       k_norm=jnp.ones((cfg.head_dim,), jnp.bfloat16))
         layers.append(LayerParams(
             attn_norm=jnp.ones((cfg.dim,), jnp.bfloat16),
             wq=lin(ks[0], cfg.dim, cfg.dim),
