@@ -325,6 +325,42 @@ def test_top_p_nucleus_restricts_candidates():
         assert int(Engine._select(stub0, logits, jax.random.PRNGKey(s))[0]) == 0
 
 
+def test_min_p_relative_floor():
+    """min-p keeps tokens with prob >= min_p * max-prob, AFTER top-p: with
+    probs (.5, .3, .15, .05), min_p=0.4 gives floor 0.2 -> {0, 1}; composed
+    with top_p=0.9 (keeps {0,1,2}, renormalized .526/.316/.158) a min_p=0.35
+    floor of .184 then drops token 2."""
+    import jax
+    from types import SimpleNamespace
+
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+
+    def seen(ecfg, n=64):
+        stub = SimpleNamespace(ecfg=ecfg)
+        return {int(Engine._select(stub, logits, jax.random.PRNGKey(s))[0])
+                for s in range(n)}
+
+    assert seen(EngineConfig(temperature=1.0, min_p=0.4)) == {0, 1}
+    # min_p -> 1 degenerates to greedy: only the argmax survives its own floor
+    assert seen(EngineConfig(temperature=1.0, min_p=0.9)) == {0}
+    # composition: the floor applies to the top-p-renormalized distribution
+    assert seen(EngineConfig(temperature=1.0, top_p=0.9, min_p=0.35)) == {0, 1}
+    assert seen(EngineConfig(temperature=1.0, top_p=0.9, min_p=0.1)) == {0, 1, 2}
+
+
+def test_min_p_engine_seeded_deterministic_and_validated(params):
+    reqs = lambda: [Request(uid=1, prompt=[3, 4, 5], max_new_tokens=6)]
+    mk = lambda seed: Engine(
+        params, CFG,
+        EngineConfig(max_batch=1, max_len=32, temperature=1.0, min_p=0.2, seed=seed),
+    ).run(reqs())
+    out_a, out_b = mk(1), mk(1)
+    assert out_a[1].tokens == out_b[1].tokens
+    assert all(0 <= t < CFG.vocab_size for t in out_a[1].tokens)
+    with pytest.raises(ValueError, match="min_p"):
+        Engine(params, CFG, EngineConfig(max_batch=1, max_len=32, min_p=1.0))
+
+
 def test_top_p_sampling_seeded_deterministic(params):
     reqs = lambda: [Request(uid=1, prompt=[3, 4, 5], max_new_tokens=8)]
     mk = lambda seed: Engine(

@@ -88,6 +88,12 @@ class EngineConfig:
     temperature: float = 0.0
     top_k: int = 0
     top_p: float = 1.0
+    # min-p sampling (0 = off): after temperature/top-k/top-p, drop tokens
+    # whose probability is below min_p * max-token-probability — a relative
+    # floor that adapts to the distribution's confidence (tight when the
+    # model is sure, permissive when it is flat).  The argmax always
+    # survives, so min_p -> 1 degenerates to greedy.
+    min_p: float = 0.0
     seed: int = 0
     # max prefills admitted per tick (0 = unlimited).  Each admission runs a
     # synchronous batch-1 prefill BEFORE the next batched decode step, so a
@@ -296,6 +302,8 @@ class Engine:
             raise ValueError(f"top_p must be in (0, 1], got {ecfg.top_p}")
         if ecfg.temperature < 0.0 or ecfg.top_k < 0:
             raise ValueError("temperature/top_k must be >= 0")
+        if not (0.0 <= ecfg.min_p < 1.0):
+            raise ValueError(f"min_p must be in [0, 1), got {ecfg.min_p}")
         if ecfg.prefill_chunk and ecfg.prefill_chunk % 32:
             raise ValueError(f"prefill_chunk must be a multiple of 32, got {ecfg.prefill_chunk}")
         if ecfg.spec_tokens:
@@ -388,6 +396,13 @@ class Engine:
             keep = jnp.cumsum(sp, axis=-1) - sp < tp[:, None]
             pmin = jnp.min(jnp.where(keep, sp, jnp.inf), axis=-1, keepdims=True)
             scaled = jnp.where(probs < pmin, -jnp.inf, scaled)
+        if self.ecfg.min_p > 0.0:
+            # relative probability floor over whatever top-k/top-p left
+            # (-inf rows softmax to 0, so filtered tokens cannot re-enter);
+            # probs_max >= min_p * probs_max keeps the argmax unconditionally
+            probs = jax.nn.softmax(scaled, axis=-1)
+            floor = self.ecfg.min_p * jnp.max(probs, axis=-1, keepdims=True)
+            scaled = jnp.where(probs < floor, -jnp.inf, scaled)
         sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
         # temperature 0 rows (request override on a sampling engine) = greedy
         return jnp.where(t > 0.0, sampled, jnp.argmax(logits, axis=-1).astype(jnp.int32))
