@@ -160,6 +160,84 @@ def measure_gemv_roofline() -> dict:
     )
 
 
+def measure_kernel_table(chip: str) -> list:
+    """Per-shape, per-M roofline audit of the fused FP4 kernels — every
+    Mistral-7B matmul shape class (post-fusion: qkv, o_proj, gate|up, down)
+    x {GEMV, M=16 batched decode, M=256 chunked prefill}.  Makes the north
+    star's "every dequant+matmul kernel roofline-bound" claim auditable per
+    kernel instead of for one flagship shape (VERDICT r4 next #2).
+
+    Timing: interleaved difference method (see time_decode), rep sized so
+    each difference carries >= ~80ms of device work.
+    """
+    import numpy as np
+
+    from torch_bnb_fp4_tpu.ops import format as fmt
+    from torch_bnb_fp4_tpu.ops import kernels as K
+    from torch_bnb_fp4_tpu.utils.profiling import fp4_matmul_roofline
+
+    from functools import partial
+
+    shapes = [  # Mistral-7B fused shape classes (K, N)
+        ("qkv", 4096, 6144),
+        ("o_proj", 4096, 4096),
+        ("gate_up", 4096, 28672),
+        ("down", 14336, 4096),
+    ]
+    rng = np.random.default_rng(0)
+    rows = []
+    for name, kd, nd in shapes:
+        w = (rng.standard_normal((nd, kd)) * 0.05).astype(np.float32)
+        pk, sc = map(jnp.asarray, fmt.pack_tpu_pairk(w, variant="ramp"))
+        for m in (1, 16, 256):
+            x = jnp.asarray(rng.standard_normal((m, kd)), jnp.bfloat16)
+
+            @partial(jax.jit, static_argnames=("reps",))
+            def run(x, pk, sc, reps):
+                def body(i, c):
+                    x2 = (x.astype(jnp.float32) * (1.0 + c * 1e-30)).astype(x.dtype)
+                    o = K.matmul_fp4_pk(x2, pk, sc, variant="ramp", interpret=False)
+                    return c + o[0, 0].astype(jnp.float32) * 1e-30
+
+                return jax.lax.fori_loop(0, reps, body, 0.0)
+
+            try:
+                t0 = time.perf_counter(); float(run(x, pk, sc, 30))
+                probe = (time.perf_counter() - t0) / 30
+            except Exception as e:  # noqa: BLE001
+                log(f"  kernel {name} M={m}: SKIP {type(e).__name__}: {e}")
+                continue
+            rep = max(30, int(0.08 / max(probe, 1e-7)))
+            float(run(x, pk, sc, rep)); float(run(x, pk, sc, 2 * rep))
+            diffs = []
+            for _ in range(4):
+                t0 = time.perf_counter(); float(run(x, pk, sc, rep))
+                t1 = time.perf_counter() - t0
+                t0 = time.perf_counter(); float(run(x, pk, sc, 2 * rep))
+                t2 = time.perf_counter() - t0
+                if t2 - t1 > 0:
+                    diffs.append(t2 - t1)
+            if not diffs:
+                continue
+            diffs.sort()
+            mid = len(diffs) // 2
+            med = diffs[mid] if len(diffs) % 2 else 0.5 * (diffs[mid - 1] + diffs[mid])
+            t = med / rep
+            rf = fp4_matmul_roofline(m, kd, nd, chip=chip, achieved_s=t)
+            bytes_moved = pk.size + sc.size * 4 + x.size * 2 + m * nd * 2
+            rows.append(dict(
+                shape=name, m=m, us=round(t * 1e6, 1),
+                gbps=round(bytes_moved / t / 1e9, 1),
+                tf_s=round(2 * m * kd * nd / t / 1e12, 1),
+                bound=rf["bound"],
+                roofline_frac=round(rf["fraction_of_roofline"], 3),
+            ))
+            log(f"  kernel {name:8s} M={m:3d}: {t*1e6:7.1f}us "
+                f"{rows[-1]['gbps']:6.1f} GB/s {rows[-1]['tf_s']:5.1f} TF/s "
+                f"{rows[-1]['roofline_frac']:.0%} of {rf['bound']} roofline")
+    return rows
+
+
 def measure_error_band() -> float:
     """Reference acceptance metric: mean |quantized_linear(x) - exact| with
     torch-default init (band 0.045-0.065, sanity_check.py:177-179)."""
@@ -235,6 +313,10 @@ def main():
     if roof:
         log(f"gemv kernel: {roof['gemv_us']}us, {roof['gemv_gbps']} GB/s, "
             f"{roof['gemv_roofline_frac']:.0%} of HBM roofline")
+    from torch_bnb_fp4_tpu.utils.profiling import detect_chip
+
+    log("per-shape kernel roofline table...")
+    kernels = measure_kernel_table(detect_chip())
     print(json.dumps({
         "metric": f"{args.model}_fp4_decode_tok_s",
         "value": round(fp4_toks, 2),
@@ -242,6 +324,7 @@ def main():
         "vs_baseline": round(fp4_toks / bf16_toks, 3),
         "dequant_avg_abs_err": round(err, 4),
         **roof,
+        "kernels": kernels,
     }), flush=True)
 
 

@@ -162,3 +162,39 @@ def test_f16_computes_in_bf16(rng):
     np.testing.assert_allclose(
         np.asarray(y16, np.float32), np.asarray(yb, np.float32), rtol=1e-2, atol=1e-3
     )
+
+
+def test_chip_kernel_default_tables(rng):
+    """Per-chip block-shape tables (VERDICT r4 next #7): every chip row has
+    the full key set with sane invariants, set_chip() switches dispatch, and
+    the kernels stay CORRECT under every chip's tile defaults (interpret
+    mode runs whatever block shapes the table picks)."""
+    import jax.numpy as jnp
+
+    from torch_bnb_fp4_tpu.convert import quantize_pack_pairk
+    from torch_bnb_fp4_tpu.ops import kernels as K
+
+    keys = {"gemv_bk", "gemv_bn", "mouter_bk", "mouter_bn", "minner_bk",
+            "minner_bk_a8", "minner_bn", "a8_min_m"}
+    for chip, row in K.CHIP_KERNEL_DEFAULTS.items():
+        assert set(row) == keys, chip
+        assert row["gemv_bk"] % 128 == 0 and row["minner_bn"] % 128 == 0
+        assert row["a8_min_m"] >= 16
+
+    from torch_bnb_fp4_tpu.ops import format as fmt
+
+    w = (rng.standard_normal((256, 1024)) * 0.1).astype(np.float32)
+    pk, sc = map(jnp.asarray, quantize_pack_pairk(w, variant="ramp"))
+    x = jnp.asarray(rng.standard_normal((4, 1024)), jnp.bfloat16)
+    wq = fmt.unpack_tpu_pairk(np.asarray(pk), np.asarray(sc), variant="ramp")
+    golden = np.asarray(x, np.float32) @ wq  # exact math on quantized weights
+    try:
+        for chip in K.CHIP_KERNEL_DEFAULTS:
+            K.set_chip(chip)
+            assert K.chip_defaults() is K.CHIP_KERNEL_DEFAULTS[chip]
+            y = np.asarray(K.matmul_fp4_pk(x, pk, sc, variant="ramp"), np.float32)
+            assert abs(y - golden).mean() < 0.02, chip  # bf16 rounding only
+    finally:
+        K.set_chip(None)
+    with pytest.raises(ValueError, match="unknown chip"):
+        K.set_chip("v99")

@@ -166,6 +166,70 @@ def test_spec_warmup_no_retrace(params):
         assert res[r].tokens == _oracle(params, pl, mn)
 
 
-def test_spec_requires_greedy(params):
-    with pytest.raises(ValueError, match="greedy"):
-        Engine(params, CFG, EngineConfig(max_batch=1, temperature=0.7, spec_tokens=3))
+def test_rejection_sampling_distribution(params):
+    """The spec verifier's emitted token at each position is distributed
+    EXACTLY as plain sampling from the filtered distribution: with a
+    deterministic (prompt-lookup) proposal q = delta_d, P(emit d) = p(d) and
+    P(emit x != d) = (1 - p(d)) * p(x)/(1 - p(d)) = p(x).  Empirical check
+    over many rows of identical logits."""
+    import jax
+
+    eng = Engine(params, CFG, EngineConfig(max_batch=1, temperature=0.8,
+                                           top_p=0.95, spec_tokens=2))
+    V, B = 8, 4000
+    rng = np.random.default_rng(0)
+    row = jnp.asarray(rng.standard_normal(V), jnp.float32)
+    logits = jnp.broadcast_to(row, (B, 3, V))  # k+1 = 3 positions
+    draft = jnp.full((B, 2), 3, jnp.int32)  # propose token 3 at both slots
+    temp = jnp.full((B,), 0.8)
+    tp = jnp.full((B,), 0.95)
+    emitted, emit = eng._spec_verify(logits, draft, jax.random.PRNGKey(1), temp, tp)
+    emitted, emit = np.asarray(emitted), np.asarray(emit)
+    # target: plain-sampling distribution of one token from the filtered row
+    f = np.asarray(eng._filtered_logits(row[None, :], temp[:1], tp[:1]))[0]
+    p = np.exp(f - f.max()); p /= p.sum()
+    first = emitted[:, 0]  # position-0 outcome: accepted draft or correction
+    emp = np.bincount(first, minlength=V) / B
+    assert np.abs(emp - p).sum() < 0.06, (emp, p)
+    # acceptance rate of the draft token == its target probability
+    assert abs((first == 3).mean() - p[3]) < 0.03
+    # greedy rows (temperature 0 override) reduce to exact-match verification
+    emitted0, _ = eng._spec_verify(
+        logits, draft, jax.random.PRNGKey(2), jnp.zeros((B,)), tp)
+    am = int(np.argmax(np.asarray(row)))
+    assert (np.asarray(emitted0)[:, 0] == (3 if am == 3 else am)).all()
+
+
+def test_spec_sampling_engine_serves(params):
+    """A sampling engine speculates end-to-end (seeded, deterministic)."""
+    eng = Engine(params, CFG, EngineConfig(
+        max_batch=2, max_len=48, inner_steps=4, temperature=0.7, top_p=0.9,
+        spec_tokens=3, spec_ngram=2, seed=5))
+    res = eng.run([
+        Request(uid=1, prompt=[1, 2, 3, 1, 2], max_new_tokens=10),
+        Request(uid=2, prompt=[4, 5, 6], max_new_tokens=8),
+    ])
+    assert len(res[1].tokens) == 10 and len(res[2].tokens) == 8
+    assert all(0 <= t < CFG.vocab_size for t in res[1].tokens + res[2].tokens)
+    assert eng.stats()["spec_tokens_per_forward"] >= 1.0
+
+
+def test_spec_logprobs_match_plain_decode(params):
+    """Greedy spec engine with logprobs: tokens are oracle-exact and each
+    token's logprob matches the plain engine's within bf16 matmul noise (the
+    verify forward computes logits at (B, k+1) instead of (B, 1))."""
+    ecfg = EngineConfig(max_batch=1, max_len=48, inner_steps=2, logprobs=True)
+    prompt = [1, 2, 3, 1, 2]
+    plain = Engine(params, CFG, ecfg).run(
+        [Request(uid=1, prompt=prompt, max_new_tokens=8)])[1]
+    spec = Engine(params, CFG, dataclasses_replace(ecfg, spec_tokens=3, spec_ngram=2)).run(
+        [Request(uid=1, prompt=prompt, max_new_tokens=8)])[1]
+    assert spec.tokens == plain.tokens
+    assert spec.logprobs is not None and len(spec.logprobs) == len(spec.tokens)
+    np.testing.assert_allclose(spec.logprobs, plain.logprobs, atol=0.05)
+
+
+def dataclasses_replace(ecfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(ecfg, **kw)

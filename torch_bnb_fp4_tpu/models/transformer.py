@@ -375,31 +375,73 @@ class ModelParams:
     lm_head: Any
 
 
+def ring_rows(cap: int, window: int | None, write_chunk: int) -> int:
+    """KV rows to allocate for one layer: the full ``cap`` for global
+    attention, or a ROLLING ring of ``ceil(window/c+1)*c`` rows (c =
+    ``write_chunk``) for sliding-window layers.
+
+    The ring invariant: writes of up to ``write_chunk`` rows starting at
+    position offsets that are multiples of ``write_chunk`` (chunked prefill)
+    or single rows at any offset (decode) never wrap within one write —
+    ``R % c == 0`` and ``R >= window + c`` guarantee ``(start % R) + len <=
+    R`` — so every cache update stays ONE dynamic_update_slice, no scatter.
+    ``R >= window + write_chunk`` also keeps every key a chunk's OLDEST query
+    is entitled to see (its window reaches ``window - 1`` positions back
+    while the chunk's own writes evict up to ``write_chunk`` old rows).
+    Attention outputs are bit-identical to the full cache's: positions
+    beyond the window were masked anyway (tests/test_sliding.py)."""
+    if window is None or write_chunk <= 0:
+        return cap
+    c = write_chunk
+    return min(cap, (-(-window // c) + 1) * c)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class KVCache:
-    """bf16 KV cache, one (B, max_len, n_kv, head_dim) pair per layer.
+    """bf16 KV cache, one (B, rows_i, n_kv, head_dim) pair per layer.
 
     ``length`` is PER SEQUENCE (B,) — each batch slot has its own write
     offset, which is what continuous batching (serve/) requires; the
-    single-sequence API just keeps all entries equal."""
+    single-sequence API just keeps all entries equal.
+
+    ``rows_i`` is ``max_len`` by default; with ``write_chunk > 0``,
+    sliding-window layers allocate a ROLLING ring of ``ring_rows()`` rows
+    instead (Mistral-7B at max_len 8192: 4352-row rings for all 32 layers —
+    roughly half the KV HBM, which doubles the serving slots or context the
+    chip can hold).  Writes land at ``length % rows`` and the absolute
+    position of ring slot ``s`` is recovered as ``L-1 - ((L-1-s) mod rows)``
+    — for a never-wrapping (full-size) cache both reduce to the linear
+    offsets, so there is ONE code path for ring and linear caches alike."""
 
     k: list[jax.Array]
     v: list[jax.Array]
-    length: jax.Array  # i32 (B,): valid positions per sequence
+    length: jax.Array  # i32 (B,): total positions seen per sequence
 
     @classmethod
-    def zeros(cls, cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> "KVCache":
-        shape = (batch, max_len, cfg.n_kv_heads, cfg.head_dim)
-        return cls(
-            k=[jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)],
-            v=[jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)],
-            length=jnp.zeros((batch,), jnp.int32),
-        )
+    def zeros(cls, cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
+              write_chunk: int = 0) -> "KVCache":
+        """``write_chunk > 0`` enables rolling rings on sliding-window layers
+        (see ring_rows): the caller promises every multi-row cache write is
+        at most ``write_chunk`` rows starting at a multiple of it (single-row
+        decode writes are always safe)."""
+        ks, vs = [], []
+        for i in range(cfg.n_layers):
+            r = ring_rows(max_len, cfg.layer_sliding_window(i), write_chunk)
+            shape = (batch, r, cfg.n_kv_heads, cfg.head_dim)
+            ks.append(jnp.zeros(shape, dtype))
+            vs.append(jnp.zeros(shape, dtype))
+        return cls(k=ks, v=vs, length=jnp.zeros((batch,), jnp.int32))
 
     @property
     def max_len(self) -> int:
-        return self.k[0].shape[1]
+        return max(a.shape[1] for a in self.k)
+
+    @property
+    def min_rows(self) -> int:
+        """Smallest per-layer row count — positions older than this many
+        steps back may be evicted (ring layers)."""
+        return min(a.shape[1] for a in self.k)
 
 
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float, offset: bool = False) -> jax.Array:
@@ -457,7 +499,7 @@ def _attention(
     v: jax.Array,
     q_positions: jax.Array,  # (B, Lq) absolute positions of queries
     kv_valid: jax.Array,  # (B, Lk) bool: cache slot holds a real token
-    kv_positions: jax.Array,  # (Lk,) absolute position of each cache slot
+    kv_positions: jax.Array,  # (B, Lk) absolute position of each cache slot
     sliding_window: int | None,
     scale: float | None = None,  # None = 1/sqrt(head_dim)
     logit_softcap: float | None = None,
@@ -502,9 +544,11 @@ def _attention_dense(
     )
     if logit_softcap is not None:  # Gemma-2: cap * tanh(logits / cap)
         logits = logit_softcap * jnp.tanh(logits / logit_softcap)
-    # causal + validity (+ sliding window) mask
+    # causal + validity (+ sliding window) mask.  kv_positions is (B, Lk):
+    # ring caches recover each slot's ABSOLUTE position per sequence (the
+    # same slot holds different positions for sequences of different ages).
     qpos = q_positions[:, None, None, :, None]  # (B,1,1,Lq,1)
-    kpos = kv_positions[None, None, None, None, :]  # (1,1,1,1,Lk)
+    kpos = kv_positions[:, None, None, None, :]  # (B,1,1,1,Lk)
     mask = (kpos <= qpos) & kv_valid[:, None, None, None, :]
     if sliding_window is not None:
         mask = mask & (kpos > qpos - sliding_window)
@@ -614,9 +658,9 @@ def _layer_forward(
     positions: jax.Array,  # (B, L)
     k_cache: jax.Array,  # (B, max_len, Hk, D)
     v_cache: jax.Array,
-    cache_len: jax.Array,  # i32 (B,): per-sequence write offsets
-    kv_positions: jax.Array,  # (max_len,)
-    kv_valid: jax.Array,  # (B, max_len)
+    cache_len: jax.Array,  # i32 (B,): per-sequence TOTAL positions seen
+    kv_positions: jax.Array,  # (B, rows) absolute position per cache slot
+    kv_valid: jax.Array,  # (B, rows)
     axis_name: str | None = None,  # TP mesh axis; lp then holds LOCAL shards
     layer_idx: int = 0,  # selects the per-layer sliding window (Gemma-2)
     adapter_idx: jax.Array | None = None,  # (B,) per-row LoRA adapter (MultiLoRALinear)
@@ -671,10 +715,16 @@ def _layer_forward(
         k = rms_norm(k, lp.k_norm, cfg.rms_eps, cfg.norm_offset)
     q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
     k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
-    # per-sequence write offsets: vmapped dynamic-update-slice over the batch
+    # per-sequence write offsets, modulo the layer's ring size: vmapped
+    # dynamic-update-slice over the batch.  For a full-size cache the mod is
+    # the identity; for a rolling ring (sliding-window layers) the caller's
+    # write-alignment contract (KVCache.zeros write_chunk) guarantees the L
+    # rows never straddle the wrap point, so one DUS suffices.
+    rows = k_cache.shape[1]
     upd = jax.vmap(lambda c, u, s: jax.lax.dynamic_update_slice_in_dim(c, u, s, axis=0))
-    k_cache = upd(k_cache, k.astype(k_cache.dtype), cache_len)
-    v_cache = upd(v_cache, v.astype(v_cache.dtype), cache_len)
+    woff = jax.lax.rem(cache_len, jnp.int32(rows))
+    k_cache = upd(k_cache, k.astype(k_cache.dtype), woff)
+    v_cache = upd(v_cache, v.astype(v_cache.dtype), woff)
     attn = _attention(
         q, k_cache, v_cache, positions, kv_valid, kv_positions,
         cfg.layer_sliding_window(layer_idx), _attn_scale(cfg), cfg.attn_logit_softcap,
@@ -755,7 +805,6 @@ def forward(
     if adapter_idx is not None and not has_multi_lora(params):
         raise ValueError("adapter_idx given but params have no MultiLoRALinear")
     b, l = tokens.shape
-    max_len = cache.max_len
     if positions is None:
         positions = cache.length[:, None] + jnp.arange(l, dtype=jnp.int32)[None, :]
     x = embed_lookup(params.embed, tokens)
@@ -763,11 +812,27 @@ def forward(
         # Gemma scales embeddings by sqrt(dim) ROUNDED to the activation
         # dtype (HF multiplies by a bf16 normalizer tensor)
         x = x * jnp.asarray(cfg.dim**0.5, jnp.bfloat16)
-    kv_positions = jnp.arange(max_len, dtype=jnp.int32)
     new_len = cache.length + l  # (B,)
-    kv_valid = kv_positions[None, :] < new_len[:, None]
+
+    # per-ring-size slot->absolute-position recovery (memoized: at most two
+    # distinct row counts per model — sliding rings and full layers).  Slot s
+    # of an R-row ring holds the LATEST position p < new_len with
+    # p === s (mod R); slots whose residue class has no written position yet
+    # give p < 0 (invalid).  For a full-size cache this reduces exactly to
+    # kv_positions = arange, kv_valid = pos < new_len.
+    pos_by_rows: dict[int, tuple[jax.Array, jax.Array]] = {}
+
+    def _kv_pos(rows: int):
+        if rows not in pos_by_rows:
+            last = new_len[:, None] - 1  # (B, 1)
+            s = jnp.arange(rows, dtype=jnp.int32)[None, :]
+            p = last - jnp.mod(last - s, rows)  # floor-mod: non-negative
+            pos_by_rows[rows] = (p, p >= 0)
+        return pos_by_rows[rows]
+
     ks, vs = [], []
     for i, lp in enumerate(params.layers):
+        kv_positions, kv_valid = _kv_pos(cache.k[i].shape[1])
         x, kc, vc = _layer_forward(
             lp, cfg, x, positions, cache.k[i], cache.v[i], cache.length,
             kv_positions, kv_valid, layer_idx=i, adapter_idx=adapter_idx,
@@ -1077,7 +1142,7 @@ def reference_forward(cfg: ModelConfig, weights: dict[str, np.ndarray], tokens: 
     if cfg.embed_scale:
         x = x * jnp.asarray(cfg.dim**0.5, jnp.bfloat16)
     positions = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32), (b, l))
-    kv_positions = jnp.arange(l, dtype=jnp.int32)
+    kv_positions = positions
     kv_valid = jnp.ones((b, l), bool)
     an, mn, pan, pmn = norm_names(cfg)
     for i in range(cfg.n_layers):

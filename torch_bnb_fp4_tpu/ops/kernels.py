@@ -102,6 +102,59 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# ---------------------------------------------------------------------------
+# Per-chip kernel defaults (VERDICT r4 next #7).  The v5e row is MEASURED
+# (PERF_NOTES rounds 1-3: GEMV bk=512/widest-N, multi-row m-outer 1024/4096,
+# m-inner 1024 with a8 at 2048/2048, a8 engages at M >= 512).  The other rows
+# are PROVISIONAL: seeded from v5e scaled by each chip's bandwidth:compute
+# ratio direction (v5p/v6e have more HBM bytes per VPU op, which shifts the
+# decode/DMA balance point toward deeper tiles and earlier a8) — re-tune on
+# real hardware with:
+#   python benchmarks/shape_sweep.py      (GEMV / m-outer block shapes)
+#   python benchmarks/smallm_sweep.py     (multi-row decode shapes)
+#   python benchmarks/w4a8_sweep.py && python benchmarks/w4a8_validate.py
+# and update this table; tests/test_kernels.py pins the dispatch.
+# ---------------------------------------------------------------------------
+
+CHIP_KERNEL_DEFAULTS = {
+    # gemv_*: batch-1 decode; mouter_*: multi-row bf16 decode (M=2..128);
+    # minner_bk/_bk_a8/_bn: GEMM (prefill); a8_min_m: int8-MXU auto threshold
+    "v5e": dict(gemv_bk=512, gemv_bn=8192, mouter_bk=1024, mouter_bn=4096,
+                minner_bk=1024, minner_bk_a8=2048, minner_bn=2048, a8_min_m=512),
+    "v5p": dict(gemv_bk=512, gemv_bn=8192, mouter_bk=1024, mouter_bn=4096,
+                minner_bk=2048, minner_bk_a8=2048, minner_bn=2048, a8_min_m=512),
+    "v6e": dict(gemv_bk=1024, gemv_bn=8192, mouter_bk=1024, mouter_bn=4096,
+                minner_bk=2048, minner_bk_a8=2048, minner_bn=2048, a8_min_m=512),
+    "v4": dict(gemv_bk=512, gemv_bn=8192, mouter_bk=1024, mouter_bn=4096,
+               minner_bk=1024, minner_bk_a8=2048, minner_bn=2048, a8_min_m=512),
+}
+
+_chip_override: str | None = None
+_chip_cached: str | None = None
+
+
+def set_chip(chip: str | None) -> None:
+    """Override the detected chip generation for kernel defaults (None =
+    autodetect).  Testing/tuning hook."""
+    global _chip_override
+    if chip is not None and chip not in CHIP_KERNEL_DEFAULTS:
+        raise ValueError(f"unknown chip {chip!r}; known: {sorted(CHIP_KERNEL_DEFAULTS)}")
+    _chip_override = chip
+
+
+def chip_defaults() -> dict:
+    """Kernel block-shape defaults for the local chip generation (memoized;
+    CPU/interpret runs get the v5e row)."""
+    global _chip_cached
+    if _chip_override is not None:
+        return CHIP_KERNEL_DEFAULTS[_chip_override]
+    if _chip_cached is None:
+        from ..utils.profiling import detect_chip
+
+        _chip_cached = detect_chip(default="v5e")
+    return CHIP_KERNEL_DEFAULTS.get(_chip_cached, CHIP_KERNEL_DEFAULTS["v5e"])
+
+
 def make_code_table(codebook=None) -> jax.Array:
     """(1, 128) f32 decode table: codebook in the first 16 lanes."""
     if codebook is None:
@@ -685,7 +738,7 @@ def _matmul_pk_minner_kernel(tab_ref, x_ref, p_ref, s_ref, bias_ref, out_ref, ac
         out_ref[:] = res.astype(out_dtype)
 
 
-def _matmul_pk_w4a8_kernel(tab_ref, x_ref, p_ref, s_ref, bias_ref, out_ref, acc_ref, w8_ref, g_ref, *, blocksize, nk, out_dtype, has_bias, block_m, variant):
+def _matmul_pk_w4a8_kernel(tab_ref, x8_ref, p_ref, s_ref, bias_ref, rs_ref, out_ref, acc_ref, w8_ref, g_ref, *, blocksize, nk, out_dtype, has_bias, block_m, variant):
     """w4a8 m-inner variant: int8 x int8 -> int32 dots on the MXU's 2x-rate
     path (the regime where a bf16 fused-dequant GEMM tops out at parity-
     minus-decode, PERF_NOTES round-2 prefill decomposition).
@@ -693,8 +746,12 @@ def _matmul_pk_w4a8_kernel(tab_ref, x_ref, p_ref, s_ref, bias_ref, out_ref, acc_
     Weight tile (once per (j, kk), amortized over all M blocks): decode FP4,
     requantize per COLUMN to int8 against Gn = 192*max_b(scale_b) — a TIGHT
     bound, since each 64-row quant block attains its absmax, so the column
-    max over the tile IS Gn.  Activations: int8 per row per K-tile
-    (r = row absmax).  Rescale: y += dot_i32 * (r/127) * (Gn/127).
+    max over the tile IS Gn.  Activations arrive PRE-quantized: ``x8_ref``
+    int8 (quantized per row per K-tile against r = row absmax) and
+    ``rs_ref`` = r/127 per (row, K-tile) — computed once in XLA before the
+    kernel instead of per grid step, which removes an in-kernel cross-lane
+    max reduction repeated n/block_n times per (kk, mi) and halves the x DMA
+    bytes (round-5 small-M lever).  Rescale: y += dot_i32 * (r/127)*(Gn/127).
     int32 is exact: 127*127*block_k <= 3.3e7 << 2^31.
 
     This is the principled version of the reference's reduced-precision
@@ -725,14 +782,10 @@ def _matmul_pk_w4a8_kernel(tab_ref, x_ref, p_ref, s_ref, bias_ref, out_ref, acc_
     def _():
         acc_ref[row, :] = jnp.zeros((block_m, acc_ref.shape[1]), jnp.float32)
 
-    x = x_ref[:].astype(jnp.float32)
-    r = jnp.max(jnp.abs(x), axis=1, keepdims=True)  # per-row, per-K-tile
-    r = jnp.where(r == 0.0, 1.0, r)
-    x8 = jnp.round(x * (127.0 / r)).astype(jnp.int8)
     d = jax.lax.dot_general(
-        x8, w8_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        x8_ref[:], w8_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
-    acc_ref[row, :] += d.astype(jnp.float32) * (r / 127.0) * g_ref[:]
+    acc_ref[row, :] += d.astype(jnp.float32) * rs_ref[:] * g_ref[:]
 
     @pl.when(kk == nk - 1)
     def _():
@@ -845,10 +898,11 @@ def matmul_fp4_pk(
     compute_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
     x = x.astype(compute_dtype)
 
+    cd = chip_defaults()  # per-chip measured/provisional block shapes
     auto_bn = block_n is None
-    block_n = _choose_block(n, 2048 if auto_bn else block_n, 128)
+    block_n = _choose_block(n, cd["minner_bn"] if auto_bn else block_n, 128)
     auto_bk = block_k is None
-    requested_bk = 512 if auto_bk else block_k
+    requested_bk = cd["gemv_bk"] if auto_bk else block_k
     # scale sublane quantum: 8 rows f32, 16 rows bf16 (compact scales)
     sq = 16 if scale.dtype == jnp.bfloat16 else 8
     # the m-inner (GEMM) path K-blocks its scale tile -> sq*blocksize
@@ -894,9 +948,8 @@ def matmul_fp4_pk(
         # (benchmarks/w4a8_bench.py, 4096x14336): M=2048 a8 981-995us =
         # 242-245 TFLOP/s = 1.23-1.32x XLA dense bf16 (bf16 fused path:
         # 0.89x), M=1024 1.07x dense, M=512 ties the bf16 fused path
-        # (cross-session median), M=256 loses to it (requant pass not yet
-        # amortized) -> threshold 512
-        a8 = m >= 512 and compute_dtype == jnp.bfloat16 and variant != "lut"
+        # (cross-session median); threshold per chip (a8_min_m)
+        a8 = m >= cd["a8_min_m"] and compute_dtype == jnp.bfloat16 and variant != "lut"
     elif a8:
         if compute_dtype != jnp.bfloat16:
             raise ValueError("a8=True requires bf16 compute (f32 keeps full-precision dots)")
@@ -904,8 +957,10 @@ def matmul_fp4_pk(
             raise ValueError("a8 requires an FP4-family variant (lut codebook range is data)")
 
     # m-innermost when several M blocks share the weights: decode once per
-    # weight tile.  Needs a full-M f32 accumulator stripe in VMEM.
-    if nm > 1 and nm * block_m * block_n * 4 <= 48 * 2**20:
+    # weight tile.  Needs a full-M f32 accumulator stripe in VMEM.  The a8
+    # path also engages at nm == 1 (M = 128-256 single M block): its win is
+    # the int8 MXU rate, not only decode amortization.
+    if (nm > 1 or a8) and nm * block_m * block_n * 4 <= 48 * 2**20:
         if auto_bk:
             # deeper K blocks amortize per-tile decode (bf16 path: 1024
             # measured ~2% over 512).  The a8 path prefers 2048: its
@@ -915,9 +970,24 @@ def matmul_fp4_pk(
             # w4a8_validate.py: 956 vs 1085us; single-session deltas under
             # ~13% are chip noise, so only the cross-session consensus moved
             # this default).
-            block_k = _k_block_pairk(k, 2048 if a8 else 1024, blocksize, sq)
+            block_k = _k_block_pairk(
+                k, cd["minner_bk_a8"] if a8 else cd["minner_bk"], blocksize, sq)
             nk = k // block_k
         if a8:
+            # int8 x blocks want 32-sublane multiples (or the full-M block)
+            if block_m < m and block_m % 32:
+                block_m = 32 * pl.cdiv(block_m, 32)
+                nm = pl.cdiv(m, block_m)
+            # pre-quantize activations ONCE in XLA (per row, per K-tile):
+            # the kernel consumed r = max|x| per (row, K-tile) at every
+            # (j, kk, mi) step before — n/block_n redundant cross-lane
+            # reductions per tile — and streamed x in bf16; now it streams
+            # int8 and multiplies by the precomputed r/127.
+            xr = x.astype(jnp.float32).reshape(m, nk, block_k)
+            r = jnp.max(jnp.abs(xr), axis=2)
+            r = jnp.where(r == 0.0, 1.0, r)
+            x = jnp.round(xr * (127.0 / r)[:, :, None]).astype(jnp.int8).reshape(m, k)
+            rs = r * (1.0 / 127.0)  # (m, nk) f32
             kern = functools.partial(
                 _matmul_pk_w4a8_kernel,
                 blocksize=blocksize, nk=nk, out_dtype=out_dtype,
@@ -940,34 +1010,46 @@ def matmul_fp4_pk(
                 pltpu.VMEM((block_k, block_n), jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32),
             ]
         if expert is None:
+            in_specs = [
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # decode table (1, 128)
+                pl.BlockSpec((block_m, block_k), lambda j, kk, mi: (mi, kk), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_k // 2, block_n), lambda j, kk, mi: (kk, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_k // blocksize, block_n), lambda j, kk, mi: (kk, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_n), lambda j, kk, mi: (0, j), memory_space=pltpu.VMEM),
+            ]
+            operands = [tab, x, packed, scale, bias]
+            if a8:
+                in_specs.append(
+                    pl.BlockSpec((block_m, 1), lambda j, kk, mi: (mi, kk), memory_space=pltpu.VMEM)
+                )
+                operands.append(rs)
             out = pl.pallas_call(
                 kern,
                 grid=(n // block_n, nk, nm),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.VMEM),  # decode table (1, 128)
-                    pl.BlockSpec((block_m, block_k), lambda j, kk, mi: (mi, kk), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((block_k // 2, block_n), lambda j, kk, mi: (kk, j), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((block_k // blocksize, block_n), lambda j, kk, mi: (kk, j), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, block_n), lambda j, kk, mi: (0, j), memory_space=pltpu.VMEM),
-                ],
+                in_specs=in_specs,
                 out_specs=pl.BlockSpec((block_m, block_n), lambda j, kk, mi: (mi, j), memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
                 scratch_shapes=scratches,
                 cost_estimate=cost,
                 compiler_params=cparams,
                 interpret=interpret,
-            )(tab, x, packed, scale, bias)
+            )(*operands)
         else:
+            in_specs = [
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # decode table (1, 128)
+                pl.BlockSpec((block_m, block_k), lambda j, kk, mi, e: (mi, kk)),
+                pl.BlockSpec((1, block_k // 2, block_n), lambda j, kk, mi, e: (e[0], kk, j)),
+                pl.BlockSpec((1, block_k // blocksize, block_n), lambda j, kk, mi, e: (e[0], kk, j)),
+                pl.BlockSpec((1, block_n), lambda j, kk, mi, e: (0, j)),
+            ]
+            operands = [jnp.asarray(expert, jnp.int32).reshape(1), tab, x, packed, scale, bias]
+            if a8:
+                in_specs.append(pl.BlockSpec((block_m, 1), lambda j, kk, mi, e: (mi, kk)))
+                operands.append(rs)
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(n // block_n, nk, nm),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.VMEM),  # decode table (1, 128)
-                    pl.BlockSpec((block_m, block_k), lambda j, kk, mi, e: (mi, kk)),
-                    pl.BlockSpec((1, block_k // 2, block_n), lambda j, kk, mi, e: (e[0], kk, j)),
-                    pl.BlockSpec((1, block_k // blocksize, block_n), lambda j, kk, mi, e: (e[0], kk, j)),
-                    pl.BlockSpec((1, block_n), lambda j, kk, mi, e: (0, j)),
-                ],
+                in_specs=in_specs,
                 out_specs=pl.BlockSpec((block_m, block_n), lambda j, kk, mi, e: (mi, j)),
                 scratch_shapes=scratches,
             )
@@ -978,7 +1060,7 @@ def matmul_fp4_pk(
                 cost_estimate=cost,
                 compiler_params=cparams,
                 interpret=interpret,
-            )(jnp.asarray(expert, jnp.int32).reshape(1), tab, x, packed, scale, bias)
+            )(*operands)
         return out[:m]
 
     # m-outer path: block_k is free of the scale-tile quantum (the scale
@@ -991,9 +1073,9 @@ def matmul_fp4_pk(
     # Single-row and f32 calls keep the GEMV-era 512/2048 defaults.
     if compute_dtype == jnp.bfloat16 and m >= 2:
         if auto_bk:
-            requested_bk = 1024
+            requested_bk = cd["mouter_bk"]
         if auto_bn:
-            block_n = _choose_block(n, 4096, 128)
+            block_n = _choose_block(n, cd["mouter_bn"], 128)
     block_k = _k_block_stripe(k, requested_bk, blocksize)
     nk = k // block_k
     sblk = block_k // blocksize
@@ -1065,12 +1147,18 @@ def matmul_fp4_pk(
     return out[:m]
 
 
-def gemv_fp4_pk(x, packed, scale, bias=None, codebook=None, *, blocksize=64, out_dtype=None, block_k=512, block_n=8192, interpret=None, variant):
+def gemv_fp4_pk(x, packed, scale, bias=None, codebook=None, *, blocksize=64, out_dtype=None, block_k=None, block_n=None, interpret=None, variant):
     """Batch-1 pair-K decode fast path (v5e sweet spot: block_k 512, widest N
-    block that fits).  Measured 4096x14336 vs 153.5us bf16 matvec: 93.5us
-    exact / 73.7us zramp / 50.7us ramp (see _decode_pairs)."""
+    block that fits — per-chip via chip_defaults()).  Measured 4096x14336 vs
+    153.5us bf16 matvec: 93.5us exact / 73.7us zramp / 50.7us ramp (see
+    _decode_pairs)."""
     if x.shape[0] != 1:
         raise ValueError(f"gemv_fp4_pk is the batch-1 fast path; got x.shape={x.shape} (use matmul_fp4_pk)")
+    cd = chip_defaults()
+    if block_k is None:
+        block_k = cd["gemv_bk"]
+    if block_n is None:
+        block_n = cd["gemv_bn"]
     return matmul_fp4_pk(
         x, packed, scale, bias, codebook,
         blocksize=blocksize, out_dtype=out_dtype,

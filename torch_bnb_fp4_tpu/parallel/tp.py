@@ -301,16 +301,26 @@ def _tp_body(params, tokens, cache, last_index, cfg: T.ModelConfig, tp: int,
     replicate over the model axis; the index shards with the batch)."""
     params = _localize_params(params, cfg, tp)
     b, l = tokens.shape
-    max_len = cache.max_len
     positions = cache.length[:, None] + jnp.arange(l, dtype=jnp.int32)[None, :]
     x = T.embed_lookup(params.embed, tokens)
     if cfg.embed_scale:  # Gemma: sqrt(dim) in bf16, matching models.forward
         x = x * jnp.asarray(cfg.dim**0.5, jnp.bfloat16)
-    kv_positions = jnp.arange(max_len, dtype=jnp.int32)
     new_len = cache.length + l  # (b_loc,)
-    kv_valid = kv_positions[None, :] < new_len[:, None]
+    # ring-aware slot->position recovery, memoized per row count (mirrors
+    # models.transformer.forward; identity for full-size caches)
+    pos_by_rows = {}
+
+    def _kv_pos(rows: int):
+        if rows not in pos_by_rows:
+            last = new_len[:, None] - 1
+            s = jnp.arange(rows, dtype=jnp.int32)[None, :]
+            p = last - jnp.mod(last - s, rows)
+            pos_by_rows[rows] = (p, p >= 0)
+        return pos_by_rows[rows]
+
     ks, vs = [], []
     for i, lp in enumerate(params.layers):
+        kv_positions, kv_valid = _kv_pos(cache.k[i].shape[1])
         x, kc, vc = T._layer_forward(
             lp, cfg, x, positions, cache.k[i], cache.v[i], cache.length,
             kv_positions, kv_valid, axis_name=MODEL_AXIS, layer_idx=i,

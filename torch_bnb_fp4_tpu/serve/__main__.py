@@ -31,6 +31,14 @@ def main() -> None:
     ap.add_argument("--prefill-chunk", type=int, default=0)
     ap.add_argument("--spec-tokens", type=int, default=0)
     ap.add_argument("--prefix-cache", action="store_true")
+    ap.add_argument("--prefix-store", type=int, default=0,
+                    help="keep up to N retired requests' KV device-side so a "
+                         "shared system prompt hits the prefix cache after "
+                         "its donor finishes (N decode-slots' worth of HBM; "
+                         "LRU; requires --prefix-cache)")
+    ap.add_argument("--no-sliding-kv", action="store_true",
+                    help="disable rolling sliding-window KV rings (rings "
+                         "halve windowed models' KV HBM under --prefill-chunk)")
     ap.add_argument("--logprobs", action="store_true",
                     help="emit per-token logprobs on every completion")
     ap.add_argument("--multihost", action="store_true",
@@ -129,6 +137,7 @@ def main() -> None:
         inner_steps=args.inner_steps, temperature=args.temperature,
         top_p=args.top_p, top_k=args.top_k, prefill_chunk=args.prefill_chunk,
         spec_tokens=args.spec_tokens, prefix_cache=args.prefix_cache,
+        prefix_store=args.prefix_store, sliding_kv=not args.no_sliding_kv,
         kv_dtype=args.kv_dtype, logprobs=args.logprobs,
     ), mesh=mesh, adapter_ids=adapter_ids)
     if args.warmup_prompt_len:
