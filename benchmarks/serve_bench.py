@@ -156,6 +156,47 @@ def prefix(model="mistral7b", sys_len=1024):
               flush=True)
 
 
+def store(model="mistral7b", sys_len=1024):
+    """Retired-prefix store: admission cost for a request sharing a system
+    prompt with a request that ALREADY FINISHED (zero overlap — the case the
+    live-slot prefix cache cannot serve, VERDICT r4 weak #4).  A/B: plain
+    engine vs prefix_cache + prefix_store=2.
+
+    Run: python benchmarks/serve_bench.py store [model] [sys_len]"""
+    import dataclasses
+
+    from torch_bnb_fp4_tpu.serve import Engine, EngineConfig, Request
+
+    cfg = {"mistral7b": ModelConfig.mistral_7b, "tinyllama": ModelConfig.tinyllama_1b}[model]()
+    cfg = dataclasses.replace(cfg, quantize_lm_head=True)
+    params = synth_params(cfg, quantized=True, seed=0, fuse=True)
+    jax.block_until_ready(params)
+    rng = np.random.default_rng(0)
+    sysp = rng.integers(1, cfg.vocab_size, sys_len).tolist()
+    for ps in (0, 2):
+        eng = Engine(params, cfg, EngineConfig(
+            max_batch=4, max_len=sys_len + 128, inner_steps=4,
+            prefix_cache=bool(ps), prefix_store=ps))
+        print(f"warmup (prefix_store={ps})...", file=sys.stderr, flush=True)
+        eng.warmup(prompt_lens=[sys_len + 8])
+        # donor runs TO COMPLETION; the engine idles before the sharer arrives
+        eng.run([Request(uid=1, prompt=sysp + [7, 8], max_new_tokens=8)])
+        times = []
+        for i in range(4):
+            eng.submit(Request(uid=10 + i, prompt=sysp + [11 + i, 3], max_new_tokens=4))
+            t0 = time.perf_counter()
+            eng.step()  # the admission tick: full prefill vs stored-row fork
+            times.append(time.perf_counter() - t0)
+            while any(r is not None and r.uid == 10 + i for r in eng.slot_req):
+                eng.step()
+        st = eng.stats()
+        print(f"{model} sys_len={sys_len} prefix_store={ps}: admission tick "
+              f"{min(times)*1e3:.1f} ms (best of {len(times)}; incl. ~31ms RTT)  "
+              f"hits={st['prefix_hits']} reused={st['prefix_tokens_reused']} "
+              f"entries={st['prefix_store_entries']}",
+              flush=True)
+
+
 def spec(model="mistral7b", new_tokens=256):
     """Speculative-decoding throughput A/B (round-3 backlog item 5): batch-1
     greedy decode with prompt-lookup speculation on vs off, plus the measured
@@ -227,5 +268,9 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "prefix":
         prefix(sys.argv[2] if len(sys.argv) > 2 else "mistral7b",
                int(sys.argv[3]) if len(sys.argv) > 3 else 1024)
+        sys.exit(0)
+    if len(sys.argv) > 1 and sys.argv[1] == "store":
+        store(sys.argv[2] if len(sys.argv) > 2 else "mistral7b",
+              int(sys.argv[3]) if len(sys.argv) > 3 else 1024)
         sys.exit(0)
     main()

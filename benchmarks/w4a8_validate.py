@@ -26,13 +26,20 @@ from torch_bnb_fp4_tpu.ops import kernels as K
 
 K_DIM, N_DIM = 4096, 14336
 
-# (label, block_m, block_k, block_n); None = library default
+# (label, block_m, block_k, block_n); None = library default.
+# Round-5 additions target the M=128-512 regime (VERDICT r4 next #1):
+# shallower-K / deeper-N tiles spread the per-(j,kk) decode+requant pass
+# over more MXU work per tile at small nm.
 CANDIDATES = [
     ("default", None, None, None),
     ("bm512_bk1024_bn2048", 512, 1024, 2048),
     ("bm256_bk2048_bn3584", 256, 2048, 3584),
     ("bm256_bk2048_bn2048", 256, 2048, 2048),
     ("bm256_bk1024_bn7168", 256, 1024, 7168),
+    ("bm128_bk1024_bn4096", 128, 1024, 4096),
+    ("bm128_bk512_bn7168", 128, 512, 7168),
+    ("bm128_bk2048_bn7168", 128, 2048, 7168),
+    ("bm64_bk2048_bn4096", 64, 2048, 4096),
 ]
 
 

@@ -108,9 +108,11 @@ def test_logprobs(params):
     eng2 = Engine(params, CFG, EngineConfig(max_batch=1, max_len=32))
     res2 = eng2.run([Request(uid=9, prompt=[1, 2], max_new_tokens=2)])
     assert res2[9].logprobs is None
-    with pytest.raises(ValueError, match="logprobs"):
-        Engine(params, CFG, EngineConfig(max_batch=1, max_len=32,
-                                         spec_tokens=2, logprobs=True))
+    # spec x logprobs is a supported combination since round 5 (the verify
+    # forward emits per-position logprobs); exactness is pinned in
+    # tests/test_spec.py::test_spec_logprobs_match_plain_decode
+    Engine(params, CFG, EngineConfig(max_batch=1, max_len=32,
+                                     spec_tokens=2, logprobs=True))
 
 
 def test_logprobs_chunked_prefill(params):

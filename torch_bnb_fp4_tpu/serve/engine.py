@@ -456,7 +456,9 @@ class Engine:
         if self.ecfg.temperature <= 0.0:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         t = jnp.full((logits.shape[0],), self.ecfg.temperature) if temp is None else temp
-        scaled = self._filtered_logits(logits, t, top_p)
+        # unbound call: _select is also exercised with a bare ecfg-carrying
+        # stub in tests (Engine._select(stub, ...))
+        scaled = Engine._filtered_logits(self, logits, t, top_p)
         sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
         # temperature 0 rows (request override on a sampling engine) = greedy
         return jnp.where(t > 0.0, sampled, jnp.argmax(logits, axis=-1).astype(jnp.int32))
