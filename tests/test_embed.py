@@ -63,6 +63,7 @@ def test_quantize_embedding_validates():
         quantize_embedding(np.zeros((4, 8, 8), np.float32))
 
 
+@pytest.mark.slow
 def test_synth_params_respects_quantize_embed():
     """synth benchmarks of a quantize_embed config must build a packed table,
     not silently measure dense-table HBM (and dense stays dense)."""

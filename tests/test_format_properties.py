@@ -7,6 +7,7 @@ and adversarial values (zeros, denormal-scale blocks, +-absmax ties).
 
 import ml_dtypes
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from torch_bnb_fp4_tpu.ops import format as fmt
@@ -110,6 +111,7 @@ def test_bnb_flat_roundtrip(data):
 
 @settings(max_examples=8, deadline=None)
 @given(st.data())
+@pytest.mark.slow
 def test_apply_linear_arbitrary_shapes(data):
     """quantize_linear + apply_linear handle arbitrary (unaligned) n_out/k_in
     via padding, for every variant, on GEMV and GEMM dispatch paths

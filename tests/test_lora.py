@@ -92,6 +92,7 @@ def _fw(params, cfg=CFG):
     return np.asarray(out)
 
 
+@pytest.mark.slow
 def test_dense_attach_matches_merged_oracle(weights, adapter, merged_oracle):
     got = _fw(attach_lora(dense_params(CFG, weights), CFG, adapter))
     err = np.abs(got - merged_oracle).max() / np.abs(merged_oracle).max()
@@ -99,6 +100,7 @@ def test_dense_attach_matches_merged_oracle(weights, adapter, merged_oracle):
     assert np.corrcoef(got.ravel(), merged_oracle.ravel())[0, 1] > 0.9999
 
 
+@pytest.mark.slow
 def test_adapter_adds_no_error_beyond_quantization(weights, adapter, merged_oracle):
     """corr(quantized+LoRA, dense+LoRA oracle) must equal
     corr(quantized, dense oracle) — the delta path is exact, so quantization
@@ -212,6 +214,7 @@ def adapter_b():
     return PEFTAdapter(r=4, alpha=8.0, weights=w)
 
 
+@pytest.mark.slow
 def test_multi_lora_matches_single_attach(weights, adapter, adapter_b):
     """Per-row adapter selection reproduces each single-attach oracle, and
     index 0 reproduces the base model, within one batched forward."""
@@ -245,6 +248,7 @@ def test_multi_lora_requires_adapter_idx(weights, adapter):
                 KVCache.zeros(CFG, 1, 8), adapter_idx=jnp.zeros((1,), jnp.int32))
 
 
+@pytest.mark.slow
 def test_multi_lora_tp_matches_single_device(weights, adapter, adapter_b):
     """Stacked adapter factors shard like single-LoRA with the adapter axis
     replicated — mesh forward with per-row selection == single device."""

@@ -110,6 +110,7 @@ def test_router_semantics_handcrafted():
     assert np.abs(y[:, 1:]).max() < 1e-6
 
 
+@pytest.mark.slow
 def test_dispatch_paths_agree(weights, qparams):
     """Per-token dynamic-index dispatch == static all-experts masked pass."""
     moe = qparams.layers[0].moe
@@ -131,6 +132,7 @@ def test_expert_view_static_vs_traced(qparams):
 # -- model-level oracles ------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_dense_moe_matches_reference(weights):
     ref = np.asarray(reference_forward(CFG, weights, TOKS))
     dp = dense_params(CFG, weights)
@@ -141,6 +143,7 @@ def test_dense_moe_matches_reference(weights):
     assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.9999
 
 
+@pytest.mark.slow
 def test_quantized_moe_fixed_routing_envelope(weights, qparams):
     """With IDENTICAL routing (same hidden states into moe_forward), the
     quantized expert stack stays in the usual FP4 envelope.  End-to-end corr
@@ -158,6 +161,7 @@ def test_quantized_moe_fixed_routing_envelope(weights, qparams):
     assert np.corrcoef(np.asarray(got).ravel(), ref.ravel())[0, 1] > 0.9
 
 
+@pytest.mark.slow
 def test_decode_matches_prefill(qparams):
     """Incremental decode (per-token dispatch) tracks the all-at-once prefill
     (all-experts dispatch) position by position."""
@@ -172,6 +176,7 @@ def test_decode_matches_prefill(qparams):
     assert np.abs(inc - ref).max() / np.abs(ref).max() < 2e-2
 
 
+@pytest.mark.slow
 def test_fused_experts_match_unfused(qparams):
     fp = fuse_params(qparams)
     assert fp.layers[0].moe.gateup is not None and fp.layers[0].moe.gate is None
@@ -270,6 +275,7 @@ def test_engine_serves_moe(qparams):
 # -- zero-copy expert kernel --------------------------------------------------
 
 
+@pytest.mark.slow
 def test_expert_kernel_matches_materialized_view():
     """apply_expert_linear (scalar-prefetch expert index inside the Pallas
     grid) is BIT-identical to materializing the expert (expert_view) and

@@ -180,6 +180,7 @@ def test_variant_error_band(rng, variant):
         assert werr <= np.abs(w0 - w).mean() * 1.01, (variant, werr)
 
 
+@pytest.mark.slow
 def test_variant_checkpoint_roundtrip(tmp_path, rng):
     """variant survives save/load (old manifests without it load as exact)."""
     from torch_bnb_fp4_tpu.convert import load_checkpoint, save_checkpoint

@@ -85,6 +85,7 @@ def _scan_decode(params, cfg, prompt, cache, n):
     return np.concatenate([np.asarray(toks)[:, 0], np.asarray(last)])
 
 
+@pytest.mark.slow
 def test_ring_decode_matches_full_cache(dense_w):
     """Greedy decode far past the window: ring == full, token for token."""
     prompt = jnp.asarray([[3, 7, 11, 2, 9, 4, 8, 1]], jnp.int32)
@@ -96,6 +97,7 @@ def test_ring_decode_matches_full_cache(dense_w):
     np.testing.assert_array_equal(full, ring)
 
 
+@pytest.mark.slow
 def test_ring_chunked_prefill_matches_full(dense_w):
     """Prompt fed in ring-aligned chunks, then decode: ring == full."""
     rng = np.random.default_rng(5)
@@ -130,6 +132,7 @@ def test_ring_alt_sliding_rows():
     assert rows == [32, 128, 32, 128], rows
 
 
+@pytest.mark.slow
 def test_ring_batched_mixed_ages(dense_w):
     """Two sequences of DIFFERENT cache ages decode together (the
     continuous-batching shape): ring == full at identical batch shapes.
