@@ -491,6 +491,19 @@ def rope(x: jax.Array, positions: jax.Array, theta: float,
 
 
 _ATTN_QUERY_CHUNK = 512
+# route to the Pallas flash kernel when the dense logits tensor would be
+# large: chunk (<=512) x Lk f32 x heads crosses ~0.5 GB around Lk ~ 8k on
+# Mistral geometry.  Trace-time decision (static shapes); CPU/interpret runs
+# keep the dense path (tiny test shapes never reach the threshold).
+_FLASH_MIN_CELLS = 512 * 4096
+
+
+def _use_flash(lq: int, lk: int) -> bool:
+    return (
+        lq * lk >= _FLASH_MIN_CELLS
+        and lq >= 128
+        and jax.default_backend() == "tpu"
+    )
 
 
 def _attention(
@@ -504,11 +517,20 @@ def _attention(
     scale: float | None = None,  # None = 1/sqrt(head_dim)
     logit_softcap: float | None = None,
 ) -> jax.Array:
-    """Causal GQA attention.  Long prefills are chunked over the QUERY axis
-    (exact — each query row's softmax is independent) so the logits tensor
-    stays (B, Hk, G, chunk, Lk) instead of O(Lq*Lk); at Mistral geometry a
-    2k-token prompt would otherwise materialize >0.5GB of f32 logits."""
-    lq = q.shape[1]
+    """Causal GQA attention.  Long-context prefill (Lq*Lk past
+    _FLASH_MIN_CELLS) runs the Pallas online-softmax kernel
+    (ops/attention.flash_attention — O(block_q x D) working set, ring-cache
+    aware); shorter shapes chunk over the QUERY axis (exact — each query
+    row's softmax is independent) so the logits tensor stays
+    (B, Hk, G, chunk, Lk) instead of O(Lq*Lk)."""
+    lq, lk = q.shape[1], k.shape[1]
+    if _use_flash(lq, lk):
+        from ..ops.attention import flash_attention
+
+        return flash_attention(
+            q, k, v, q_positions, kv_valid, kv_positions,
+            sliding_window, scale, logit_softcap,
+        )
     if lq > _ATTN_QUERY_CHUNK:
         outs = []
         for c0 in range(0, lq, _ATTN_QUERY_CHUNK):
