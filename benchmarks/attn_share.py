@@ -85,7 +85,11 @@ def main():
               flush=True)
 
         # chunked regime: 256 queries against an L-row cache (ring-bounded
-        # Lk for Mistral under sliding_kv: min(L, 4352))
+        # Lk for Mistral under sliding_kv: min(L, 4352)); dense vs the
+        # Pallas flash kernel
+        from torch_bnb_fp4_tpu.models.transformer import _attention_dense
+        from torch_bnb_fp4_tpu.ops.attention import flash_attention
+
         for lk_label, lk in (("full", L), ("ring", min(L, 4352))):
             q = jnp.asarray(rng.standard_normal((1, 256, 32, 128)), jnp.bfloat16)
             k = jnp.asarray(rng.standard_normal((1, lk, 8, 128)), jnp.bfloat16)
@@ -94,18 +98,27 @@ def main():
             kpos = jnp.arange(lk, dtype=jnp.int32)[None, :]
             valid = jnp.ones((1, lk), bool)
 
-            @partial(jax.jit, static_argnames=("reps",))
-            def arun(q, reps):
-                def body(i, c):
-                    q2 = (q.astype(jnp.float32) * (1 + c * 1e-30)).astype(q.dtype)
-                    o = real_attention(q2, k, v, qpos, valid, kpos, 4096)
-                    return c + o[0, 0, 0, 0].astype(jnp.float32) * 1e-30
+            for impl_label, impl in (
+                ("dense", lambda *a: _attention_dense(*a)),
+                ("flash", lambda *a: flash_attention(*a, interpret=False)),
+            ):
+                @partial(jax.jit, static_argnames=("reps",))
+                def arun(q, reps, impl=impl):
+                    def body(i, c):
+                        q2 = (q.astype(jnp.float32) * (1 + c * 1e-30)).astype(q.dtype)
+                        o = impl(q2, k, v, qpos, valid, kpos, 4096)
+                        return c + o[0, 0, 0, 0].astype(jnp.float32) * 1e-30
 
-                return jax.lax.fori_loop(0, reps, body, 0.0)
+                    return jax.lax.fori_loop(0, reps, body, 0.0)
 
-            ta = median_diff(lambda n: float(arun(q, n * 8))) / 8
-            print(f"      chunk256 x Lk={lk} ({lk_label}): {ta*1e6:8.0f} us/chunk",
-                  flush=True)
+                try:
+                    ta = median_diff(lambda n: float(arun(q, n * 8))) / 8
+                except Exception as e:  # noqa: BLE001
+                    print(f"      chunk256 x Lk={lk} ({lk_label}) {impl_label}: "
+                          f"SKIP {type(e).__name__}: {e}", flush=True)
+                    continue
+                print(f"      chunk256 x Lk={lk} ({lk_label}) {impl_label}: "
+                      f"{ta*1e6:8.0f} us/chunk", flush=True)
     T._attention = real_attention
 
 

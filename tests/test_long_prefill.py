@@ -19,7 +19,7 @@ def test_chunked_attention_matches_dense(rng):
     k = jnp.asarray(rng.standard_normal((b, lk, hk, d)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((b, lk, hk, d)), jnp.float32)
     qpos = jnp.broadcast_to(jnp.arange(lq, dtype=jnp.int32), (b, lq))
-    kvpos = jnp.arange(lk, dtype=jnp.int32)
+    kvpos = jnp.broadcast_to(jnp.arange(lk, dtype=jnp.int32), (b, lk))
     kvv = jnp.ones((b, lk), bool)
     chunked = T._attention(q, k, v, qpos, kvv, kvpos, None)  # lq > chunk
     dense = T._attention_dense(q, k, v, qpos, kvv, kvpos, None)
