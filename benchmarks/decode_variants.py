@@ -54,7 +54,7 @@ def bench(name, kern, data, rtt, extra=()):
             def body(i, c):
                 d2 = d + (i & 1).astype(jnp.uint8)  # defeat loop-invariant hoisting
                 o = pc(d2, *e)
-                return c + o[0, 0] * 1e-30
+                return c + jnp.sum(o) * 1e-30
 
             return jax.lax.fori_loop(0, REP, body, 0.0)
 

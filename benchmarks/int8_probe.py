@@ -81,7 +81,7 @@ def main():
         def body(i, c):
             x2 = (x.astype(jnp.float32) * (1.0 + c * 1e-30)).astype(x.dtype)
             o = f(x2, w)
-            return c + o[0, 0].astype(jnp.float32) * 1e-30
+            return c + jnp.sum(o.astype(jnp.float32)) * 1e-30
         return jax.lax.fori_loop(0, reps, body, 0.0)
 
     @partial(jax.jit, static_argnames=("reps",))
@@ -89,7 +89,7 @@ def main():
         def body(i, c):
             x2 = (x.astype(jnp.float32) * (1.0 + c * 1e-30)).astype(x.dtype)
             o = jnp.dot(x2, w, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-            return c + o[0, 0].astype(jnp.float32) * 1e-30
+            return c + jnp.sum(o.astype(jnp.float32)) * 1e-30
         return jax.lax.fori_loop(0, reps, body, 0.0)
 
     rep = 50

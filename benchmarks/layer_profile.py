@@ -26,7 +26,7 @@ def bench(name, fn, *args, rep=REP):
         def body(i, c):
             x2 = (x.astype(jnp.float32) * (1.0 + c * 1e-30)).astype(x.dtype)
             o = fn(x2, *a)
-            return c + jnp.ravel(o)[0].astype(jnp.float32) * 1e-30
+            return c + jnp.sum(o.astype(jnp.float32)) * 1e-30
 
         return jax.lax.fori_loop(0, rep, body, 0.0)
 
@@ -94,7 +94,7 @@ def main():
         def body(i, c):
             t2 = (tok + (c * 1e-30).astype(jnp.int32)).astype(jnp.int32)
             o = stepi(t2, params, cache)
-            return c + o[0, 0] * 1e-30
+            return c + jnp.sum(o) * 1e-30
 
         return jax.lax.fori_loop(0, 20, body, 0.0)
 

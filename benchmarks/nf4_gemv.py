@@ -50,7 +50,7 @@ def main():
                 o = K.gemv_fp4_pk(x2, pk_r, sc_r, variant="ramp", interpret=False)
             else:
                 o = jnp.dot(x2, wt, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-            return c + o[0, 0].astype(jnp.float32) * 1e-30
+            return c + jnp.sum(o.astype(jnp.float32)) * 1e-30
 
         return jax.lax.fori_loop(0, reps, body, 0.0)
 

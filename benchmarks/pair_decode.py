@@ -241,7 +241,7 @@ def bench(name, fn, x, *args):
         def body(i, c):
             x2 = x * (1.0 + c * 1e-30).astype(x.dtype)
             o = fn(x2, *a)
-            return c + o[0, 0].astype(jnp.float32) * 1e-30
+            return c + jnp.sum(o.astype(jnp.float32)) * 1e-30
 
         return jax.lax.fori_loop(0, REP, body, 0.0)
 

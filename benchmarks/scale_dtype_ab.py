@@ -37,7 +37,7 @@ def build(k, n, scale_dtype, rep):
         def body(i, c):
             x2 = (x.astype(jnp.float32) * (1.0 + c * 1e-30)).astype(x.dtype)
             o = K.gemv_fp4_pk(x2, pk, sc, variant="ramp", interpret=False)
-            return c + o[0, 0].astype(jnp.float32) * 1e-30
+            return c + jnp.sum(o.astype(jnp.float32)) * 1e-30
 
         return jax.lax.fori_loop(0, reps, body, 0.0)
 

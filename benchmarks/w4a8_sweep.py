@@ -55,7 +55,7 @@ def main():
                         x2, pk, sc, variant="ramp", a8=True, interpret=False,
                         block_m=bm, block_k=bk, block_n=bn,
                     )
-                    return c + o[0, 0].astype(jnp.float32) * 1e-30
+                    return c + jnp.sum(o.astype(jnp.float32)) * 1e-30
 
                 return jax.lax.fori_loop(0, reps, body, 0.0)
 

@@ -40,10 +40,19 @@ CANDIDATES = [
     ("bm128_bk512_bn7168", 128, 512, 7168),
     ("bm128_bk2048_bn7168", 128, 2048, 7168),
     ("bm64_bk2048_bn4096", 64, 2048, 4096),
+    ("bm512_bk2048_bn2048", 512, 2048, 2048),
+    ("bm256_bk1024_bn2048", 256, 1024, 2048),
 ]
 
 
 def main():
+    import os
+
+    cands = CANDIDATES
+    filt = os.environ.get("W4A8_CANDS")  # comma-separated label filter
+    if filt:
+        keep = set(filt.split(","))
+        cands = [c for c in CANDIDATES if c[0] in keep]
     ms = [int(a) for a in sys.argv[1:]] or [512, 2048]
     rng = np.random.default_rng(0)
     w = (rng.standard_normal((N_DIM, K_DIM)) / np.sqrt(K_DIM)).astype(np.float32)
@@ -59,29 +68,43 @@ def main():
             if bm is not None:
                 kw = dict(block_m=bm, block_k=bk, block_n=bn)
 
-            @partial(jax.jit, static_argnames=("reps",))
+            # reps is a TRACED fori_loop bound: one compile per candidate,
+            # any rep count afterwards (a static-reps jit recompiles per rep
+            # value — the probe then measures XLA compile time and the rep
+            # sizing collapses, the round-5 harness bug)
+            @jax.jit
             def run(x, reps):
                 def body(i, c):
                     x2 = (x.astype(jnp.float32) * (1.0 + c * 1e-30)).astype(x.dtype)
                     o = K.matmul_fp4_pk(x2, pk, sc, variant="ramp", a8=True,
                                         interpret=False, **kw)
-                    return c + o[0, 0].astype(jnp.float32) * 1e-30
+                    return c + jnp.sum(o.astype(jnp.float32)) * 1e-30
 
                 return jax.lax.fori_loop(0, reps, body, 0.0)
 
             return run
 
-        @partial(jax.jit, static_argnames=("reps",))
+        @jax.jit
         def dense(x, reps):
             def body(i, c):
                 x2 = (x.astype(jnp.float32) * (1.0 + c * 1e-30)).astype(x.dtype)
                 o = jnp.dot(x2, wt, preferred_element_type=jnp.float32)
-                return c + o[0, 0] * 1e-30
+                return c + jnp.sum(o) * 1e-30
 
             return jax.lax.fori_loop(0, reps, body, 0.0)
 
-        runs = {"dense": dense}
-        for label, bm, bk, bn in CANDIDATES:
+        @jax.jit
+        def bf16_fused(x, reps):
+            def body(i, c):
+                x2 = (x.astype(jnp.float32) * (1.0 + c * 1e-30)).astype(x.dtype)
+                o = K.matmul_fp4_pk(x2, pk, sc, variant="ramp", a8=False,
+                                    interpret=False)
+                return c + jnp.sum(o.astype(jnp.float32)) * 1e-30
+
+            return jax.lax.fori_loop(0, reps, body, 0.0)
+
+        runs = {"dense": dense, "bf16-fused": bf16_fused}
+        for label, bm, bk, bn in cands:
             if bm is not None and bm > m:
                 continue
             try:
@@ -91,11 +114,12 @@ def main():
             except Exception as e:  # noqa: BLE001
                 print(f"M={m} {label}: SKIP {type(e).__name__}: {e}", flush=True)
 
-        # rep so one run is ~300ms device time: estimate from a quick probe
+        # rep so one run is ~300ms device time; probe on the COMPILED fn
         reps = {}
         for label, r in runs.items():
-            t0 = time.perf_counter(); float(r(x, 20)); t = (time.perf_counter() - t0) / 20
-            reps[label] = max(20, int(0.3 / max(t, 1e-6)))
+            float(r(x, 32))  # ensure compiled & warm
+            t0 = time.perf_counter(); float(r(x, 64)); t = (time.perf_counter() - t0) / 64
+            reps[label] = max(64, int(0.3 / max(t, 1e-7)))
         samples = {label: [] for label in runs}
         for rnd in range(5):
             for label, r in runs.items():

@@ -175,7 +175,7 @@ def test_chip_kernel_default_tables(rng):
     from torch_bnb_fp4_tpu.ops import kernels as K
 
     keys = {"gemv_bk", "gemv_bn", "mouter_bk", "mouter_bn", "minner_bk",
-            "minner_bk_a8", "minner_bn", "a8_min_m"}
+            "minner_bk_a8", "minner_bm_a8", "minner_bn", "a8_min_m"}
     for chip, row in K.CHIP_KERNEL_DEFAULTS.items():
         assert set(row) == keys, chip
         assert row["gemv_bk"] % 128 == 0 and row["minner_bn"] % 128 == 0

@@ -119,14 +119,23 @@ def _interpret_default() -> bool:
 CHIP_KERNEL_DEFAULTS = {
     # gemv_*: batch-1 decode; mouter_*: multi-row bf16 decode (M=2..128);
     # minner_bk/_bk_a8/_bn: GEMM (prefill); a8_min_m: int8-MXU auto threshold
+    # a8 defaults re-measured round 5 with the fixed full-output harness
+    # (benchmarks/w4a8_validate.py): bm512+bk1024 beat bm256+bk2048 by ~4%
+    # at M=2048 in two sessions (1069/1074 vs 1110/1114us; either factor
+    # alone is neutral), and a8 overtakes the bf16-fused path already at
+    # M=256 (286 vs 302us) -> threshold 256.
     "v5e": dict(gemv_bk=512, gemv_bn=8192, mouter_bk=1024, mouter_bn=4096,
-                minner_bk=1024, minner_bk_a8=2048, minner_bn=2048, a8_min_m=512),
+                minner_bk=1024, minner_bk_a8=1024, minner_bm_a8=512,
+                minner_bn=2048, a8_min_m=256),
     "v5p": dict(gemv_bk=512, gemv_bn=8192, mouter_bk=1024, mouter_bn=4096,
-                minner_bk=2048, minner_bk_a8=2048, minner_bn=2048, a8_min_m=512),
+                minner_bk=2048, minner_bk_a8=1024, minner_bm_a8=512,
+                minner_bn=2048, a8_min_m=256),
     "v6e": dict(gemv_bk=1024, gemv_bn=8192, mouter_bk=1024, mouter_bn=4096,
-                minner_bk=2048, minner_bk_a8=2048, minner_bn=2048, a8_min_m=512),
+                minner_bk=2048, minner_bk_a8=1024, minner_bm_a8=512,
+                minner_bn=2048, a8_min_m=256),
     "v4": dict(gemv_bk=512, gemv_bn=8192, mouter_bk=1024, mouter_bn=4096,
-               minner_bk=1024, minner_bk_a8=2048, minner_bn=2048, a8_min_m=512),
+               minner_bk=1024, minner_bk_a8=1024, minner_bm_a8=512,
+               minner_bn=2048, a8_min_m=256),
 }
 
 _chip_override: str | None = None
@@ -768,6 +777,8 @@ def _matmul_pk_w4a8_kernel(tab_ref, x8_ref, p_ref, s_ref, bias_ref, rs_ref, out_
         g = jnp.max(s, axis=0, keepdims=True)
         g = jnp.where(g == 0.0, 1.0, g)
         g_ref[:] = g * (fmt.PAIRK_VALUE_SCALE / 127.0)  # Gn/127
+        # NB a bf16-domain requant (2 values/lane, would halve this pass)
+        # does not lower on v5e: Mosaic has no bf16 roundeven (round-5 note)
         f = (s / g) * (127.0 / fmt.PAIRK_VALUE_SCALE)  # s_b*127/Gn
         hb = blocksize // 2
         for b in range(2 * p_ref.shape[0] // blocksize):
@@ -785,7 +796,11 @@ def _matmul_pk_w4a8_kernel(tab_ref, x8_ref, p_ref, s_ref, bias_ref, rs_ref, out_
     d = jax.lax.dot_general(
         x8_ref[:], w8_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
-    acc_ref[row, :] += d.astype(jnp.float32) * rs_ref[:] * g_ref[:]
+    # rs arrives as the full (block_m, nk) per-K-tile scale strip (a lane
+    # dim of 1 is not a legal Mosaic block shape); select column kk
+    lane = jax.lax.broadcasted_iota(jnp.int32, (x8_ref.shape[0], nk), 1)
+    rs = jnp.sum(jnp.where(lane == kk, rs_ref[:], 0.0), axis=1, keepdims=True)
+    acc_ref[row, :] += d.astype(jnp.float32) * rs * g_ref[:]
 
     @pl.when(kk == nk - 1)
     def _():
@@ -826,7 +841,7 @@ def matmul_fp4_pk(
     *,
     blocksize: int = 64,
     out_dtype=None,
-    block_m: int = 256,
+    block_m: int | None = None,
     block_k: int | None = None,
     block_n: int | None = None,
     interpret: bool | None = None,
@@ -899,6 +914,9 @@ def matmul_fp4_pk(
     x = x.astype(compute_dtype)
 
     cd = chip_defaults()  # per-chip measured/provisional block shapes
+    auto_bm = block_m is None
+    if auto_bm:
+        block_m = 256
     auto_bn = block_n is None
     block_n = _choose_block(n, cd["minner_bn"] if auto_bn else block_n, 128)
     auto_bk = block_k is None
@@ -974,6 +992,12 @@ def matmul_fp4_pk(
                 k, cd["minner_bk_a8"] if a8 else cd["minner_bk"], blocksize, sq)
             nk = k // block_k
         if a8:
+            if auto_bm:
+                # a8 prefers DEEP M blocks (bm512+bk1024 measured ~4% over
+                # bm256+bk2048 at M=2048, two sessions — see chip table),
+                # and nm == 1 is fine for this path
+                block_m = min(cd["minner_bm_a8"], 32 * pl.cdiv(m, 32))
+                nm = pl.cdiv(m, block_m)
             # int8 x blocks want 32-sublane multiples (or the full-M block)
             if block_m < m and block_m % 32:
                 block_m = 32 * pl.cdiv(block_m, 32)
@@ -1019,8 +1043,10 @@ def matmul_fp4_pk(
             ]
             operands = [tab, x, packed, scale, bias]
             if a8:
+                # full-nk lane dim (legal for any nk); the kernel selects
+                # this step's column with an iota mask
                 in_specs.append(
-                    pl.BlockSpec((block_m, 1), lambda j, kk, mi: (mi, kk), memory_space=pltpu.VMEM)
+                    pl.BlockSpec((block_m, nk), lambda j, kk, mi: (mi, 0), memory_space=pltpu.VMEM)
                 )
                 operands.append(rs)
             out = pl.pallas_call(
@@ -1044,7 +1070,7 @@ def matmul_fp4_pk(
             ]
             operands = [jnp.asarray(expert, jnp.int32).reshape(1), tab, x, packed, scale, bias]
             if a8:
-                in_specs.append(pl.BlockSpec((block_m, 1), lambda j, kk, mi, e: (mi, kk)))
+                in_specs.append(pl.BlockSpec((block_m, nk), lambda j, kk, mi, e: (mi, 0)))
                 operands.append(rs)
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,

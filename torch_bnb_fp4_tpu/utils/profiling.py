@@ -50,7 +50,7 @@ def time_fn(fn, *args, rep: int = 100, rtt: float | None = None) -> float:
         def body(i, c):
             x2 = (x.astype(jnp.float32) * (1.0 + c * 1e-30)).astype(x.dtype)
             o = fn(x2, *a)
-            return c + jnp.ravel(o)[0].astype(jnp.float32) * 1e-30
+            return c + jnp.sum(o.astype(jnp.float32)) * 1e-30
 
         return jax.lax.fori_loop(0, rep, body, 0.0)
 
