@@ -491,11 +491,13 @@ def rope(x: jax.Array, positions: jax.Array, theta: float,
 
 
 _ATTN_QUERY_CHUNK = 512
-# route to the Pallas flash kernel when the dense logits tensor would be
-# large: chunk (<=512) x Lk f32 x heads crosses ~0.5 GB around Lk ~ 8k on
-# Mistral geometry.  Trace-time decision (static shapes); CPU/interpret runs
-# keep the dense path (tiny test shapes never reach the threshold).
-_FLASH_MIN_CELLS = 512 * 4096
+# route to the Pallas flash kernel when Lq*Lk crosses ~1M cells — the
+# measured v5e crossover (chunk256: dense wins at Lk<=2048, flash wins 1.9x
+# at Lk=4352 and 2.7x at Lk=8192, PERF_NOTES round 5); it also caps the
+# dense path's O(Lq*Lk) f32 logits memory.  Trace-time decision (static
+# shapes); CPU/interpret runs keep the dense path (tiny test shapes never
+# reach the threshold).
+_FLASH_MIN_CELLS = 256 * 4096
 
 
 def _use_flash(lq: int, lk: int) -> bool:
