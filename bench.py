@@ -116,9 +116,7 @@ def measure_gemv_roofline() -> dict:
     pk, sc = map(jnp.asarray, fmt.pack_tpu_pairk(w, variant="ramp"))
     x = jnp.asarray(rng.standard_normal((1, k)), jnp.bfloat16)
 
-    from functools import partial
-
-    @partial(jax.jit, static_argnames=("reps",))
+    @jax.jit
     def run(x, pk, sc, reps):
         def body(i, c):
             x2 = (x.astype(jnp.float32) * (1.0 + c * 1e-30)).astype(x.dtype)
@@ -185,6 +183,7 @@ def measure_kernel_table(chip: str) -> list:
         ("down", 14336, 4096),
     ]
     rng = np.random.default_rng(0)
+    rtt = calibrate_rtt()
     rows = []
     for name, kd, nd in shapes:
         w = (rng.standard_normal((nd, kd)) * 0.05).astype(np.float32)
@@ -192,7 +191,8 @@ def measure_kernel_table(chip: str) -> list:
         for m in (1, 16, 256):
             x = jnp.asarray(rng.standard_normal((m, kd)), jnp.bfloat16)
 
-            @partial(jax.jit, static_argnames=("reps",))
+            # reps is a TRACED bound: one compile per (shape, M) combo
+            @jax.jit
             def run(x, pk, sc, reps):
                 def body(i, c):
                     x2 = (x.astype(jnp.float32) * (1.0 + c * 1e-30)).astype(x.dtype)
@@ -202,12 +202,16 @@ def measure_kernel_table(chip: str) -> list:
                 return jax.lax.fori_loop(0, reps, body, 0.0)
 
             try:
+                float(run(x, pk, sc, 30))  # compile + warm
                 t0 = time.perf_counter(); float(run(x, pk, sc, 30))
-                probe = (time.perf_counter() - t0) / 30
+                probe = max((time.perf_counter() - t0 - rtt) / 30, 1e-7)
             except Exception as e:  # noqa: BLE001
                 log(f"  kernel {name} M={m}: SKIP {type(e).__name__}: {e}")
                 continue
-            rep = max(30, int(0.08 / max(probe, 1e-7)))
+            # rep from the RTT-free per-iteration estimate: an RTT-inclusive
+            # probe makes fast kernels pick tiny reps whose differences are
+            # pure tunnel jitter (a 10us kernel once printed 1.4 TB/s)
+            rep = max(64, int(0.1 / probe))
             float(run(x, pk, sc, rep)); float(run(x, pk, sc, 2 * rep))
             diffs = []
             for _ in range(4):
@@ -223,7 +227,10 @@ def measure_kernel_table(chip: str) -> list:
             mid = len(diffs) // 2
             med = diffs[mid] if len(diffs) % 2 else 0.5 * (diffs[mid - 1] + diffs[mid])
             t = med / rep
-            rf = fp4_matmul_roofline(m, kd, nd, chip=chip, achieved_s=t)
+            from torch_bnb_fp4_tpu.ops.kernels import chip_defaults
+
+            a8 = m >= chip_defaults()["a8_min_m"]
+            rf = fp4_matmul_roofline(m, kd, nd, chip=chip, achieved_s=t, int8=a8)
             bytes_moved = pk.size + sc.size * 4 + x.size * 2 + m * nd * 2
             rows.append(dict(
                 shape=name, m=m, us=round(t * 1e6, 1),
@@ -264,6 +271,9 @@ def main():
                     "model size so the per-difference work dwarfs tunnel "
                     "jitter (48 / 128 / 256 for mistral7b / tinyllama / tiny)")
     ap.add_argument("--prompt-len", type=int, default=32)
+    ap.add_argument("--kernels-only", action="store_true",
+                    help="skip the decode headline; print only the per-shape "
+                    "kernel roofline table (tuning iteration aid)")
     ap.add_argument("--bf16-lm-head", action="store_true",
                     help="keep lm_head bf16 in the FP4 model (reference parity mode; "
                     "default quantizes it — this is an FP4 engine)")
@@ -286,6 +296,13 @@ def main():
 
     rtt = calibrate_rtt()
     log(f"backend={jax.default_backend()} rtt={rtt*1e3:.1f}ms model={args.model}")
+
+    if args.kernels_only:
+        from torch_bnb_fp4_tpu.utils.profiling import detect_chip
+
+        kernels = measure_kernel_table(detect_chip())
+        print(json.dumps({"metric": "kernel_table_only", "kernels": kernels}), flush=True)
+        return
 
     log("building FP4 model (device-side synth, fused projections)...")
     t0 = time.perf_counter()

@@ -90,11 +90,14 @@ def detect_chip(default: str = "v5e") -> str:
     return default
 
 
-def fp4_matmul_roofline(m: int, k: int, n: int, chip: str = "v5e", achieved_s: float | None = None) -> dict:
+def fp4_matmul_roofline(m: int, k: int, n: int, chip: str = "v5e", achieved_s: float | None = None, int8: bool = False) -> dict:
     """Roofline for the fused FP4 matmul: bytes = packed K*N/2 + absmax +
-    activations; flops = 2*m*k*n.  Returns the bound and (optionally) the
-    fraction of roofline achieved."""
+    activations; flops = 2*m*k*n.  ``int8=True`` scores against the int8 MXU
+    peak (2x bf16 — the w4a8 path's ceiling).  Returns the bound and
+    (optionally) the fraction of roofline achieved."""
     peak_tf, peak_gbs = CHIP_PEAKS[chip]
+    if int8:
+        peak_tf *= 2.0
     bytes_moved = k * n / 2 + (k // 64) * n * 4 + m * k * 2 + m * n * 2
     flops = 2 * m * k * n
     t_mem = bytes_moved / (peak_gbs * 1e9)
