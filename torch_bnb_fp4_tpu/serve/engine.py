@@ -1334,6 +1334,11 @@ class Engine:
             prefix_hits=self._prefix_hits,
             prefix_tokens_reused=self._prefix_tokens,
             prefix_store_entries=len(self._store),
+            # total device KV bytes (decode slots + store rows); rolling
+            # sliding-window rings show up here as the ~halved footprint
+            kv_cache_bytes=sum(
+                a.nbytes for a in self.cache.k + self.cache.v
+            ),
             # mean time-to-first-token and per-output-token latency over
             # finished requests (wall clock incl. queueing)
             mean_ttft_s=sum(c.ttft_s for c in done) / len(done) if done else 0.0,
