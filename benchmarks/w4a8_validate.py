@@ -103,7 +103,18 @@ def main():
 
             return jax.lax.fori_loop(0, reps, body, 0.0)
 
-        runs = {"dense": dense, "bf16-fused": bf16_fused}
+        w8, g8 = K.make_int8_shadow(pk, sc, variant="ramp", interpret=False)
+
+        @jax.jit
+        def w8shadow(x, reps):
+            def body(i, c):
+                x2 = (x.astype(jnp.float32) * (1.0 + c * 1e-30)).astype(x.dtype)
+                o = K.matmul_w8(x2, w8, g8, interpret=False)
+                return c + jnp.sum(o.astype(jnp.float32)) * 1e-30
+
+            return jax.lax.fori_loop(0, reps, body, 0.0)
+
+        runs = {"dense": dense, "bf16-fused": bf16_fused, "w8shadow": w8shadow}
         for label, bm, bk, bn in cands:
             if bm is not None and bm > m:
                 continue

@@ -1,0 +1,95 @@
+"""int8 prefill shadow (attach_int8_shadow / matmul_w8).
+
+The shadow pre-materializes the w4a8 path's int8 weight requantization
+(+1 byte/weight HBM) so prefill GEMMs skip the serialized in-kernel
+decode+requant pass — measured 1.32-1.40x XLA dense bf16 at M=256-2048 on
+v5e where the fused path managed 0.64-1.19x (PERF_NOTES round 5).
+Correctness: the affine-int8 envelope is the same as the fused a8 path's
+(g is the exact per-tile column max, slightly tighter than Gn).
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_bnb_fp4_tpu.models import ModelConfig, attach_prefill_shadow, quantize_params
+from torch_bnb_fp4_tpu.models import linear as L
+from torch_bnb_fp4_tpu.models import transformer as T
+from torch_bnb_fp4_tpu.ops import kernels as K
+
+
+@pytest.fixture(scope="module")
+def layer(rng=None):
+    rng = np.random.default_rng(3)
+    w = (rng.standard_normal((512, 2048)) / 45).astype(np.float32)
+    b = (rng.standard_normal(512) * 0.01).astype(np.float32)
+    return w, b, L.quantize_linear(w, b, variant="ramp")
+
+
+def test_shadow_error_matches_fused_a8(layer):
+    w, b, q = layer
+    qs = L.attach_int8_shadow(q, interpret=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((256, 2048)), jnp.bfloat16)
+    ref = np.asarray(x, np.float32) @ w.T + b
+    es = np.abs(np.asarray(qs(x, interpret=True), np.float32) - ref).mean()
+    ea = np.abs(np.asarray(q(x, interpret=True), np.float32) - ref).mean()
+    assert es <= ea * 1.02, (es, ea)  # same affine-int8 envelope
+
+
+def test_shadow_dispatch_rules(layer):
+    _, _, q = layer
+    qs = L.attach_int8_shadow(q, interpret=True)
+    assert qs.w8 is not None and qs.w8.dtype == jnp.int8
+    assert qs.w8_scale.shape == (qs.k_pad // qs.w8_block_k, qs.n_pad)
+    rng = np.random.default_rng(1)
+    # GEMV (m == 1): identical bytes — the shadow never touches decode
+    x1 = jnp.asarray(rng.standard_normal((1, 2048)), jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(qs(x1, interpret=True)), np.asarray(q(x1, interpret=True)))
+    # f32 activations: precision-first fused path, also identical
+    xf = jnp.asarray(rng.standard_normal((64, 2048)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(qs(xf, interpret=True)), np.asarray(q(xf, interpret=True)))
+    # below the a8 threshold: fused path, identical
+    K.set_chip("v5e")
+    try:
+        xm = jnp.asarray(rng.standard_normal((32, 2048)), jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(qs(xm, interpret=True)), np.asarray(q(xm, interpret=True)))
+    finally:
+        K.set_chip(None)
+
+
+def test_shadow_requires_pairk_2d(layer):
+    _, _, q = layer
+    with pytest.raises(ValueError, match="stacked"):
+        L.attach_int8_shadow(
+            dataclasses.replace(
+                q,
+                packed=jnp.broadcast_to(q.packed, (2,) + q.packed.shape),
+                absmax_hi=jnp.broadcast_to(q.absmax_hi, (2,) + q.absmax_hi.shape),
+            )
+        )
+
+
+@pytest.mark.slow
+def test_attach_prefill_shadow_model_forward():
+    cfg = ModelConfig.tiny_test(n_layers=1, quantize_lm_head=True)
+    w = T.random_weights(cfg, seed=5)
+    params = quantize_params(cfg, w)
+    shadowed = attach_prefill_shadow(params, interpret=True)
+    # every 2-D pairk linear gained a shadow
+    assert shadowed.layers[0].wq.w8 is not None
+    assert shadowed.lm_head.w8 is not None
+    rng = np.random.default_rng(2)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 256)), jnp.int32)
+    lg0, _ = T.forward(params, cfg, toks, T.KVCache.zeros(cfg, 1, 256), last_only=True)
+    lg1, _ = T.forward(shadowed, cfg, toks, T.KVCache.zeros(cfg, 1, 256), last_only=True)
+    # both are affine-int8 approximations of the same model: close, and each
+    # close to the other within the quantization envelope
+    d = np.abs(np.asarray(lg0, np.float32) - np.asarray(lg1, np.float32)).mean()
+    s = np.abs(np.asarray(lg0, np.float32)).mean()
+    assert d < 0.1 * max(s, 1e-3), (d, s)

@@ -69,6 +69,15 @@ class QuantLinear:
     variant: str = dataclasses.field(default="exact", metadata=dict(static=True))
     # None -> exact arithmetic FP4 decode; else a (16,) table (e.g. NF4)
     codebook: jax.Array | None = None
+    # optional int8 PREFILL SHADOW (attach_int8_shadow): a pre-materialized
+    # int8 requantization of the weights (+1 byte/weight HBM) that lets
+    # M >= a8_min_m GEMMs skip the in-kernel decode+requant pass entirely —
+    # the serialized-VPU floor of the fused w4a8 path at M=256-512
+    # (PERF_NOTES round 5).  w8 (k_pad, n_pad) int8; w8_scale
+    # (k_pad // w8_block_k, n_pad) f32 per-K-tile column scales.
+    w8: jax.Array | None = None
+    w8_scale: jax.Array | None = None
+    w8_block_k: int = dataclasses.field(default=1024, metadata=dict(static=True))
 
     @property
     def n_pad(self) -> int:
@@ -434,7 +443,7 @@ def _shard_reorder_x(x2: jax.Array, k_shards: int) -> jax.Array:
     )
 
 
-def apply_linear(q: QuantLinear, x: jax.Array, *, block_m: int = 256, out_dtype=None, interpret: bool | None = None, adapter_idx=None) -> jax.Array:
+def apply_linear(q: QuantLinear, x: jax.Array, *, block_m: int | None = None, out_dtype=None, interpret: bool | None = None, adapter_idx=None) -> jax.Array:
     """Forward pass. x: (..., k_in) -> (..., n_out).
 
     Trace-time dispatch (replacing reference QuantData.forward runtime policy,
@@ -470,6 +479,17 @@ def apply_linear(q: QuantLinear, x: jax.Array, *, block_m: int = 256, out_dtype=
                 x2, q.packed, q.absmax_hi, bias, cb, blocksize=q.blocksize,
                 out_dtype=out_dtype, interpret=interpret, variant=q.variant,
             )
+        elif (
+            q.w8 is not None
+            and m >= K.chip_defaults()["a8_min_m"]
+            and x2.dtype != jnp.float32
+        ):
+            # int8 prefill shadow: pure int8 GEMM, no in-kernel weight pass
+            # (f32 activations keep the precision-first fused path)
+            out = K.matmul_w8(
+                x2, q.w8, q.w8_scale, bias, block_k=q.w8_block_k,
+                block_m=block_m, out_dtype=out_dtype, interpret=interpret,
+            )
         else:
             out = K.matmul_fp4_pk(
                 x2, q.packed, q.absmax_hi, bias, cb, blocksize=q.blocksize,
@@ -492,7 +512,7 @@ def apply_linear(q: QuantLinear, x: jax.Array, *, block_m: int = 256, out_dtype=
                 bias,
                 q.codebook,
                 blocksize=q.blocksize,
-                block_m=block_m,
+                block_m=256 if block_m is None else block_m,
                 out_dtype=out_dtype,
                 interpret=interpret,
             )
@@ -506,7 +526,7 @@ def apply_expert_linear(
     e,
     x: jax.Array,
     *,
-    block_m: int = 256,
+    block_m: int | None = None,
     out_dtype=None,
     interpret: bool | None = None,
 ) -> jax.Array:
@@ -639,3 +659,36 @@ def dequantize_weight(q: QuantLinear, out_dtype=jnp.bfloat16, interpret: bool | 
         n = wt.shape[1]
         wt = wt.reshape(2, D, kp // D, n).transpose(1, 0, 2, 3).reshape(2 * kp, n)
     return wt[: q.k_in, : q.n_out].T
+
+
+def attach_int8_shadow(q: QuantLinear, interpret: bool | None = None) -> QuantLinear:
+    """Attach the int8 PREFILL SHADOW to a pairk QuantLinear: decode+requant
+    the packed weights once (ops/kernels.make_int8_shadow) so M >= a8_min_m
+    GEMMs run as pure int8 matmuls — the fused w4a8 path's per-call weight
+    pass is the measured floor at M=256-512 (PERF_NOTES round 5).  Costs
+    +1 byte/weight of HBM (2x the packed FP4; still 1/2 of bf16).  The FP4
+    bytes stay the decode/GEMV path, so batch-1 latency is unchanged."""
+    if q.layout != "pairk":
+        raise ValueError("int8 shadow requires the pairk layout")
+    if q.packed.ndim != 2:
+        raise ValueError("stacked (expert) linears are not supported yet")
+    bk = q.w8_block_k if q.k_pad % q.w8_block_k == 0 else q.k_pad
+    cb = q.codebook if q.variant == "lut" else None
+    w8, g = K.make_int8_shadow(
+        q.packed, q.absmax_hi, cb, blocksize=q.blocksize, variant=q.variant,
+        block_k=bk, interpret=interpret,
+    )
+    return dataclasses.replace(q, w8=w8, w8_scale=g, w8_block_k=bk)
+
+
+def attach_prefill_shadow(params, interpret: bool | None = None):
+    """Attach int8 prefill shadows to every eligible QuantLinear in a model
+    pytree (ModelParams or anything containing QuantLinears).  Stacked
+    expert linears (MoE) are left untouched."""
+
+    def f(x):
+        if isinstance(x, QuantLinear) and x.layout == "pairk" and x.packed.ndim == 2:
+            return attach_int8_shadow(x, interpret=interpret)
+        return x
+
+    return jax.tree.map(f, params, is_leaf=lambda x: isinstance(x, QuantLinear))

@@ -810,6 +810,139 @@ def _matmul_pk_w4a8_kernel(tab_ref, x8_ref, p_ref, s_ref, bias_ref, rs_ref, out_
         out_ref[:] = res.astype(out_dtype)
 
 
+def _matmul_w8_kernel(x8_ref, w8_ref, g_ref, bias_ref, rs_ref, out_ref, acc_ref, *, nk, out_dtype, has_bias, block_m):
+    """Pure int8 GEMM over a pre-materialized int8 weight SHADOW (the
+    "prefill shadow": decode+requant runs ONCE at attach time instead of
+    per matmul call, removing the serialized per-tile VPU pass that floors
+    the fused w4a8 path at M=256-512 — PERF_NOTES round 5).  Same math as
+    _matmul_pk_w4a8_kernel minus the in-kernel weight pass: exact int32
+    dots on the MXU's 2x int8 path, f32 rescale by (row absmax/127) x
+    (per-K-tile column max/127)."""
+    kk, mi = pl.program_id(1), pl.program_id(2)
+    row = pl.ds(mi * block_m, block_m)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[row, :] = jnp.zeros((block_m, acc_ref.shape[1]), jnp.float32)
+
+    d = jax.lax.dot_general(
+        x8_ref[:], w8_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (x8_ref.shape[0], nk), 1)
+    rs = jnp.sum(jnp.where(lane == kk, rs_ref[:], 0.0), axis=1, keepdims=True)
+    # g arrives as the full (nk, BN) strip (a 1-sublane block is not a legal
+    # Mosaic shape unless nk < 8 equals the full dim... which it may not);
+    # select this K-tile's row with a sublane iota mask
+    srow = jax.lax.broadcasted_iota(jnp.int32, g_ref.shape, 0)
+    g = jnp.sum(jnp.where(srow == kk, g_ref[:], 0.0), axis=0, keepdims=True)
+    acc_ref[row, :] += d.astype(jnp.float32) * rs * g
+
+    @pl.when(kk == nk - 1)
+    def _():
+        res = acc_ref[row, :]
+        if has_bias:
+            res = res + bias_ref[:].astype(jnp.float32)
+        out_ref[:] = res.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "block_m", "block_k", "block_n", "interpret"),
+)
+def matmul_w8(
+    x: jax.Array,
+    w8: jax.Array,  # (K, N) int8 shadow
+    g: jax.Array,  # (K // block_k, N) f32: per-K-tile column max / 127
+    bias: jax.Array | None = None,
+    *,
+    out_dtype=None,
+    block_m: int | None = None,
+    block_k: int = 1024,
+    block_n: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """y[M, N] = x[M, K] @ dequant8(w8)[K, N] (+ bias) — the int8-shadow
+    GEMM.  ``g``'s row granularity MUST equal ``block_k`` (the attach step
+    and this kernel share the constant).  Activations are pre-quantized per
+    (row, K-tile) like the fused w4a8 path; accuracy is the same affine-int8
+    envelope (slightly tighter: g is the exact tile max)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    k, n = w8.shape
+    if x.ndim != 2 or x.shape[1] != k:
+        raise ValueError(f"x must be (M, {k}), got {x.shape}")
+    if k % block_k:
+        raise ValueError(f"K={k} must divide by block_k={block_k}")
+    nk = k // block_k
+    if g.shape != (nk, n):
+        raise ValueError(f"g must be {(nk, n)} (block_k={block_k}), got {g.shape}")
+    m = x.shape[0]
+    if out_dtype is None:
+        out_dtype = x.dtype
+    cd = chip_defaults()
+    if block_m is None:
+        block_m = min(cd["minner_bm_a8"], 32 * pl.cdiv(m, 32))
+    block_n = _choose_block(n, cd["minner_bn"] if block_n is None else block_n, 128)
+    nm = pl.cdiv(m, block_m)
+
+    xr = x.astype(jnp.float32).reshape(m, nk, block_k)
+    r = jnp.max(jnp.abs(xr), axis=2)
+    r = jnp.where(r == 0.0, 1.0, r)
+    x8 = jnp.round(xr * (127.0 / r)[:, :, None]).astype(jnp.int8).reshape(m, k)
+    rs = r * (1.0 / 127.0)
+
+    has_bias = bias is not None
+    bias = jnp.zeros((1, n), jnp.float32) if bias is None else bias.reshape(1, n)
+    cost = pl.CostEstimate(
+        flops=2 * m * k * n,
+        bytes_accessed=k * n + (k // block_k) * n * 4 + m * k,
+        transcendentals=0,
+    )
+    kern = functools.partial(
+        _matmul_w8_kernel, nk=nk, out_dtype=out_dtype, has_bias=has_bias,
+        block_m=block_m,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(n // block_n, nk, nm),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda j, kk, mi: (mi, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda j, kk, mi: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nk, block_n), lambda j, kk, mi: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda j, kk, mi: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, nk), lambda j, kk, mi: (mi, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda j, kk, mi: (mi, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((nm * block_m, block_n), jnp.float32)],
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        interpret=interpret,
+    )(x8, w8, g, bias, rs)
+    return out
+
+
+def make_int8_shadow(packed, scale, codebook=None, *, blocksize=64, variant, block_k=1024, interpret=None):
+    """(w8 (K, N) int8, g (K/block_k, N) f32): the int8 prefill shadow of a
+    pair-K packing — decode+requant done ONCE so matmul_w8 can skip it.
+    Costs 1 byte/weight of extra HBM (2x the packed FP4); the FP4 bytes
+    remain the decode/GEMV path."""
+    wt = dequantize_tpu_pk(
+        packed, scale, codebook, blocksize=blocksize, out_dtype=jnp.float32,
+        variant=variant, interpret=interpret,
+    )
+    k, n = wt.shape
+    assert k % block_k == 0, (k, block_k)
+    wr = wt.reshape(k // block_k, block_k, n)
+    g = jnp.max(jnp.abs(wr), axis=1)
+    g = jnp.where(g == 0.0, 1.0, g)
+    w8 = jnp.round(wr * (127.0 / g)[:, None, :]).astype(jnp.int8).reshape(k, n)
+    return w8, g * (1.0 / 127.0)
+
+
 def _expertify(kern_fn):
     """Wrap a pair-K kernel so it runs against ONE expert of a stacked weight.
 

@@ -39,6 +39,12 @@ def main() -> None:
     ap.add_argument("--no-sliding-kv", action="store_true",
                     help="disable rolling sliding-window KV rings (rings "
                          "halve windowed models' KV HBM under --prefill-chunk)")
+    ap.add_argument("--prefill-shadow", action="store_true",
+                    help="attach int8 prefill shadows (+1 byte/weight HBM): "
+                         "prefill GEMMs at M>=256 run as pure int8 matmuls, "
+                         "measured 1.3-1.4x XLA dense bf16 where the fused "
+                         "path is 0.6-1.2x; decode/GEMV latency unchanged. "
+                         "Single-host only.")
     ap.add_argument("--logprobs", action="store_true",
                     help="emit per-token logprobs on every completion")
     ap.add_argument("--multihost", action="store_true",
@@ -124,6 +130,15 @@ def main() -> None:
             logging.info("%s LoRA adapter %s (r=%d, alpha=%g, %d modules)",
                          "merged" if args.lora_merge else "attached", args.lora[0],
                          adapter.r, adapter.alpha, len(adapter.weights))
+
+    if args.prefill_shadow:
+        if args.multihost:
+            ap.error("--prefill-shadow is single-host only (the shadow "
+                     "arrays are not TP-sharded yet)")
+        from ..models import attach_prefill_shadow
+
+        params = attach_prefill_shadow(params)
+        logging.info("attached int8 prefill shadows (+1 byte/weight HBM)")
 
     if args.multihost:
         validate_tp(cfg, n_model)
