@@ -76,10 +76,18 @@ def jitter(model="mistral7b", chunks=(0,), prompt_len=1024):
 
     from torch_bnb_fp4_tpu.serve import Engine, EngineConfig, Request
 
+    import os
+
     cfg = {"mistral7b": ModelConfig.mistral_7b, "tinyllama": ModelConfig.tinyllama_1b}[model]()
     cfg = dataclasses.replace(cfg, quantize_lm_head=True)
     params = synth_params(cfg, quantized=True, seed=0, fuse=True)
     jax.block_until_ready(params)
+    if os.environ.get("SHADOW"):  # SHADOW=1: int8 prefill shadows attached
+        from torch_bnb_fp4_tpu.models import attach_prefill_shadow
+
+        params = attach_prefill_shadow(params)
+        jax.block_until_ready(params)
+        print("int8 prefill shadows attached", file=sys.stderr, flush=True)
     for chunk in chunks:
         rng = np.random.default_rng(0)
         ecfg = EngineConfig(max_batch=4, max_len=prompt_len + 512, inner_steps=4,

@@ -93,3 +93,54 @@ def test_attach_prefill_shadow_model_forward():
     d = np.abs(np.asarray(lg0, np.float32) - np.asarray(lg1, np.float32)).mean()
     s = np.abs(np.asarray(lg0, np.float32)).mean()
     assert d < 0.1 * max(s, 1e-3), (d, s)
+
+
+@pytest.mark.slow
+def test_shadow_tp_matches_single_device():
+    """Shadowed params shard over a (data=2, model=4) mesh and the TP
+    decode/prefill step matches the single-device shadowed model."""
+    import jax
+
+    from torch_bnb_fp4_tpu.parallel import (
+        make_decode_step, make_mesh, make_prefill, quantize_params_tp,
+        shard_cache, shard_params,
+    )
+
+    # bf16 lm_head: a 256-vocab quantized head sharded over tp=4 would leave
+    # 64-lane local shards, below the kernels' 128-lane minimum
+    cfg = ModelConfig.tiny_test(n_layers=1)
+    w = T.random_weights(cfg, seed=7)
+    tp = 4
+    params = attach_prefill_shadow(
+        quantize_params_tp(cfg, w, tp=tp), interpret=True, tp=tp)
+    mesh = make_mesh(n_model=tp, n_data=2)
+    sp = shard_params(params, mesh)
+    b = 2
+    cache = shard_cache(T.KVCache.zeros(cfg, b, 16), mesh)
+    rng = np.random.default_rng(0)
+    # prompt long enough that the prefill GEMM M (b*L) crosses nothing —
+    # shadow engages per-linear at M >= a8_min_m; with tiny shapes it won't,
+    # so force the threshold down via the chip override to exercise the
+    # sharded matmul_w8 path
+    K.set_chip("v5e")
+    import torch_bnb_fp4_tpu.ops.kernels as KK
+
+    old = dict(KK.CHIP_KERNEL_DEFAULTS["v5e"])
+    KK.CHIP_KERNEL_DEFAULTS["v5e"] = dict(old, a8_min_m=8)
+    try:
+        prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, 8)), jnp.int32)
+        pre = make_prefill(sp, cfg, cache, mesh)
+        tok, cache2 = pre(sp, prompt, cache)
+        step = make_decode_step(sp, cfg, cache2, mesh)
+        tok2, _ = step(sp, tok, cache2)
+        # single-device oracle through the same shadowed params
+        c0 = T.KVCache.zeros(cfg, b, 16)
+        lg, c0 = T.forward(params, cfg, prompt, c0, last_only=True)
+        t0 = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+        lg2, _ = T.forward(params, cfg, t0[:, None], c0)
+        t1 = jnp.argmax(lg2[:, -1], -1).astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(tok), np.asarray(t0))
+        np.testing.assert_array_equal(np.asarray(tok2), np.asarray(t1))
+    finally:
+        KK.CHIP_KERNEL_DEFAULTS["v5e"] = old
+        K.set_chip(None)

@@ -661,18 +661,25 @@ def dequantize_weight(q: QuantLinear, out_dtype=jnp.bfloat16, interpret: bool | 
     return wt[: q.k_in, : q.n_out].T
 
 
-def attach_int8_shadow(q: QuantLinear, interpret: bool | None = None) -> QuantLinear:
+def attach_int8_shadow(q: QuantLinear, interpret: bool | None = None, tp: int = 1) -> QuantLinear:
     """Attach the int8 PREFILL SHADOW to a pairk QuantLinear: decode+requant
     the packed weights once (ops/kernels.make_int8_shadow) so M >= a8_min_m
     GEMMs run as pure int8 matmuls — the fused w4a8 path's per-call weight
     pass is the measured floor at M=256-512 (PERF_NOTES round 5).  Costs
     +1 byte/weight of HBM (2x the packed FP4; still 1/2 of bf16).  The FP4
-    bytes stay the decode/GEMV path, so batch-1 latency is unchanged."""
+    bytes stay the decode/GEMV path, so batch-1 latency is unchanged.
+
+    ``tp``: intended model-axis width — the scale tile depth (w8_block_k) is
+    chosen to divide the PER-SHARD K so row-parallel shards stay
+    self-contained (parallel/tp.py shards w8/w8_scale contiguously)."""
     if q.layout != "pairk":
         raise ValueError("int8 shadow requires the pairk layout")
     if q.packed.ndim != 2:
         raise ValueError("stacked (expert) linears are not supported yet")
-    bk = q.w8_block_k if q.k_pad % q.w8_block_k == 0 else q.k_pad
+    k_loc = q.k_pad // tp
+    if q.k_pad % tp or k_loc % 256:
+        raise ValueError(f"k_pad={q.k_pad} does not shard into 256-multiples over tp={tp}")
+    bk = next(b for b in (1024, 512, 256) if k_loc % b == 0)
     cb = q.codebook if q.variant == "lut" else None
     w8, g = K.make_int8_shadow(
         q.packed, q.absmax_hi, cb, blocksize=q.blocksize, variant=q.variant,
@@ -681,14 +688,15 @@ def attach_int8_shadow(q: QuantLinear, interpret: bool | None = None) -> QuantLi
     return dataclasses.replace(q, w8=w8, w8_scale=g, w8_block_k=bk)
 
 
-def attach_prefill_shadow(params, interpret: bool | None = None):
+def attach_prefill_shadow(params, interpret: bool | None = None, tp: int = 1):
     """Attach int8 prefill shadows to every eligible QuantLinear in a model
     pytree (ModelParams or anything containing QuantLinears).  Stacked
-    expert linears (MoE) are left untouched."""
+    expert linears (MoE) are left untouched.  Pass the model-axis width as
+    ``tp`` when the params will be sharded (attach BEFORE shard_params)."""
 
     def f(x):
         if isinstance(x, QuantLinear) and x.layout == "pairk" and x.packed.ndim == 2:
-            return attach_int8_shadow(x, interpret=interpret)
+            return attach_int8_shadow(x, interpret=interpret, tp=tp)
         return x
 
     return jax.tree.map(f, params, is_leaf=lambda x: isinstance(x, QuantLinear))

@@ -118,8 +118,8 @@ def quantize_params_tp(cfg: T.ModelConfig, weights: dict, tp: int, fuse: bool = 
 # Partition specs
 # ---------------------------------------------------------------------------
 
-_COL = dict(packed=P(None, MODEL_AXIS), absmax_hi=P(None, MODEL_AXIS), absmax_lo=P(None, MODEL_AXIS), bias=P(MODEL_AXIS), codebook=P(None), w=P(None, MODEL_AXIS))
-_ROW = dict(packed=P(MODEL_AXIS, None), absmax_hi=P(MODEL_AXIS, None), absmax_lo=P(MODEL_AXIS, None), bias=P(None), codebook=P(None), w=P(MODEL_AXIS, None))
+_COL = dict(packed=P(None, MODEL_AXIS), absmax_hi=P(None, MODEL_AXIS), absmax_lo=P(None, MODEL_AXIS), bias=P(MODEL_AXIS), codebook=P(None), w=P(None, MODEL_AXIS), w8=P(None, MODEL_AXIS), w8_scale=P(None, MODEL_AXIS))
+_ROW = dict(packed=P(MODEL_AXIS, None), absmax_hi=P(MODEL_AXIS, None), absmax_lo=P(MODEL_AXIS, None), bias=P(None), codebook=P(None), w=P(MODEL_AXIS, None), w8=P(MODEL_AXIS, None), w8_scale=P(MODEL_AXIS, None))
 _ROW_PARALLEL = ("wo", "w_down")
 
 

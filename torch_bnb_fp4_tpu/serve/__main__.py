@@ -43,8 +43,7 @@ def main() -> None:
                     help="attach int8 prefill shadows (+1 byte/weight HBM): "
                          "prefill GEMMs at M>=256 run as pure int8 matmuls, "
                          "measured 1.3-1.4x XLA dense bf16 where the fused "
-                         "path is 0.6-1.2x; decode/GEMV latency unchanged. "
-                         "Single-host only.")
+                         "path is 0.6-1.2x; decode/GEMV latency unchanged.")
     ap.add_argument("--logprobs", action="store_true",
                     help="emit per-token logprobs on every completion")
     ap.add_argument("--multihost", action="store_true",
@@ -132,12 +131,10 @@ def main() -> None:
                          adapter.r, adapter.alpha, len(adapter.weights))
 
     if args.prefill_shadow:
-        if args.multihost:
-            ap.error("--prefill-shadow is single-host only (the shadow "
-                     "arrays are not TP-sharded yet)")
         from ..models import attach_prefill_shadow
 
-        params = attach_prefill_shadow(params)
+        params = attach_prefill_shadow(
+            params, tp=(n_model if args.multihost else 1))
         logging.info("attached int8 prefill shadows (+1 byte/weight HBM)")
 
     if args.multihost:
