@@ -245,6 +245,66 @@ def measure_kernel_table(chip: str) -> list:
     return rows
 
 
+def measure_prefill_shadow(rtt: float) -> dict:
+    """A/B the int8 prefill shadow vs XLA dense bf16 at the chunked-prefill
+    shape (M=256, 4096x14336) — the regime the fused path loses and the
+    shadow wins (PERF_NOTES round 5)."""
+    import numpy as np
+
+    from torch_bnb_fp4_tpu.ops import format as fmt
+    from torch_bnb_fp4_tpu.ops import kernels as K
+
+    rng = np.random.default_rng(0)
+    kd, nd, m = 4096, 14336, 256
+    w = (rng.standard_normal((nd, kd)) * 0.05).astype(np.float32)
+    pk, sc = map(jnp.asarray, fmt.pack_tpu_pairk(w, variant="ramp"))
+    w8, g8 = K.make_int8_shadow(pk, sc, variant="ramp", interpret=False)
+    wt = jnp.asarray(w.T, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((m, kd)), jnp.bfloat16)
+
+    @jax.jit
+    def shadow(x, reps):
+        def body(i, c):
+            x2 = (x.astype(jnp.float32) * (1.0 + c * 1e-30)).astype(x.dtype)
+            o = K.matmul_w8(x2, w8, g8, interpret=False)
+            return c + jnp.sum(o.astype(jnp.float32)) * 1e-30
+
+        return jax.lax.fori_loop(0, reps, body, 0.0)
+
+    @jax.jit
+    def dense(x, reps):
+        def body(i, c):
+            x2 = (x.astype(jnp.float32) * (1.0 + c * 1e-30)).astype(x.dtype)
+            o = jnp.dot(x2, wt, preferred_element_type=jnp.float32)
+            return c + jnp.sum(o) * 1e-30
+
+        return jax.lax.fori_loop(0, reps, body, 0.0)
+
+    out = {}
+    for name, fn in (("shadow", shadow), ("dense", dense)):
+        float(fn(x, 32))
+        t0 = time.perf_counter(); float(fn(x, 64))
+        probe = max((time.perf_counter() - t0 - rtt) / 64, 1e-7)
+        rep = max(64, int(0.1 / probe))
+        diffs = []
+        for _ in range(4):
+            t0 = time.perf_counter(); float(fn(x, rep)); t1 = time.perf_counter() - t0
+            t0 = time.perf_counter(); float(fn(x, 2 * rep)); t2 = time.perf_counter() - t0
+            if t2 - t1 > 0:
+                diffs.append(t2 - t1)
+        if not diffs:
+            return {}
+        diffs.sort()
+        mid = len(diffs) // 2
+        med = diffs[mid] if len(diffs) % 2 else 0.5 * (diffs[mid - 1] + diffs[mid])
+        out[name] = med / rep
+    return dict(
+        prefill256_shadow_us=round(out["shadow"] * 1e6, 1),
+        prefill256_dense_us=round(out["dense"] * 1e6, 1),
+        prefill256_shadow_vs_dense=round(out["dense"] / out["shadow"], 3),
+    )
+
+
 def measure_error_band() -> float:
     """Reference acceptance metric: mean |quantized_linear(x) - exact| with
     torch-default init (band 0.045-0.065, sanity_check.py:177-179)."""
@@ -332,6 +392,10 @@ def main():
             f"{roof['gemv_roofline_frac']:.0%} of HBM roofline")
     from torch_bnb_fp4_tpu.utils.profiling import detect_chip
 
+    shadow = measure_prefill_shadow(rtt)
+    if shadow:
+        log(f"prefill shadow M=256: {shadow['prefill256_shadow_us']}us vs dense "
+            f"{shadow['prefill256_dense_us']}us = {shadow['prefill256_shadow_vs_dense']}x")
     log("per-shape kernel roofline table...")
     kernels = measure_kernel_table(detect_chip())
     print(json.dumps({
@@ -341,6 +405,7 @@ def main():
         "vs_baseline": round(fp4_toks / bf16_toks, 3),
         "dequant_avg_abs_err": round(err, 4),
         **roof,
+        **shadow,
         "kernels": kernels,
     }), flush=True)
 
