@@ -212,15 +212,19 @@ def measure_kernel_table(chip: str) -> list:
             # probe makes fast kernels pick tiny reps whose differences are
             # pure tunnel jitter (a 10us kernel once printed 1.4 TB/s)
             rep = max(64, int(0.1 / probe))
-            float(run(x, pk, sc, rep)); float(run(x, pk, sc, 2 * rep))
-            diffs = []
-            for _ in range(4):
-                t0 = time.perf_counter(); float(run(x, pk, sc, rep))
-                t1 = time.perf_counter() - t0
-                t0 = time.perf_counter(); float(run(x, pk, sc, 2 * rep))
-                t2 = time.perf_counter() - t0
-                if t2 - t1 > 0:
-                    diffs.append(t2 - t1)
+            try:
+                float(run(x, pk, sc, rep)); float(run(x, pk, sc, 2 * rep))
+                diffs = []
+                for _ in range(4):
+                    t0 = time.perf_counter(); float(run(x, pk, sc, rep))
+                    t1 = time.perf_counter() - t0
+                    t0 = time.perf_counter(); float(run(x, pk, sc, 2 * rep))
+                    t2 = time.perf_counter() - t0
+                    if t2 - t1 > 0:
+                        diffs.append(t2 - t1)
+            except Exception as e:  # noqa: BLE001 — e.g. TPU worker restart
+                log(f"  kernel {name} M={m}: SKIP {type(e).__name__}: {e}")
+                continue
             if not diffs:
                 continue
             diffs.sort()
@@ -392,12 +396,21 @@ def main():
             f"{roof['gemv_roofline_frac']:.0%} of HBM roofline")
     from torch_bnb_fp4_tpu.utils.profiling import detect_chip
 
-    shadow = measure_prefill_shadow(rtt)
-    if shadow:
-        log(f"prefill shadow M=256: {shadow['prefill256_shadow_us']}us vs dense "
-            f"{shadow['prefill256_dense_us']}us = {shadow['prefill256_shadow_vs_dense']}x")
+    try:
+        shadow = measure_prefill_shadow(rtt)
+        if shadow:
+            log(f"prefill shadow M=256: {shadow['prefill256_shadow_us']}us vs dense "
+                f"{shadow['prefill256_dense_us']}us = {shadow['prefill256_shadow_vs_dense']}x")
+    except Exception as e:  # noqa: BLE001
+        log(f"prefill shadow A/B failed: {type(e).__name__}: {e}")
+        shadow = {}
     log("per-shape kernel roofline table...")
-    kernels = measure_kernel_table(detect_chip())
+    try:
+        kernels = measure_kernel_table(detect_chip())
+    except Exception as e:  # noqa: BLE001 — never lose the headline to a
+        # mid-table TPU worker restart (observed round 5)
+        log(f"kernel table aborted: {type(e).__name__}: {e}")
+        kernels = []
     print(json.dumps({
         "metric": f"{args.model}_fp4_decode_tok_s",
         "value": round(fp4_toks, 2),
