@@ -280,3 +280,19 @@ def test_prefix_store_multi_turn_reuses_completion(store_params):
         ecfg, prefix_cache=False, prefix_store=0))
     ref = eng0.run([Request(uid=2, prompt=p2, max_new_tokens=6)])
     assert out2[2].tokens == ref[2].tokens
+
+
+def test_spec_disables_rings(store_params):
+    """Speculative engines write k+1 rows at arbitrary offsets — not
+    ring-alignable — so sliding_kv must fall back to full caches."""
+    cfg = CFG_E  # sliding_window=32
+    from torch_bnb_fp4_tpu.models import quantize_params
+
+    params = quantize_params(cfg, T.random_weights(cfg, seed=11))
+    ring = Engine(params, cfg, EngineConfig(**ECFG_BASE))
+    assert ring.cache.min_rows == 64
+    full = Engine(params, cfg, EngineConfig(spec_tokens=2, **ECFG_BASE))
+    assert full.cache.min_rows == 96  # rings off under speculation
+    # unchunked engines also keep full caches (whole-prompt writes)
+    nochunk = dict(ECFG_BASE, prefill_chunk=0)
+    assert Engine(params, cfg, EngineConfig(**nochunk)).cache.min_rows == 96
