@@ -691,8 +691,11 @@ def attach_int8_shadow(q: QuantLinear, interpret: bool | None = None, tp: int = 
 def attach_prefill_shadow(params, interpret: bool | None = None, tp: int = 1):
     """Attach int8 prefill shadows to every eligible QuantLinear in a model
     pytree (ModelParams or anything containing QuantLinears).  Stacked
-    expert linears (MoE) are left untouched.  Pass the model-axis width as
-    ``tp`` when the params will be sharded (attach BEFORE shard_params)."""
+    expert linears (MoE) are left untouched — deliberately: a Mixtral-8x7B
+    expert stack's shadow would cost ~47 GB (+1 byte x 46B expert weights),
+    defeating the 4-bit deployment; dense-family models pay 2x the packed
+    FP4, still half of bf16.  Pass the model-axis width as ``tp`` when the
+    params will be sharded (attach BEFORE shard_params)."""
 
     def f(x):
         if isinstance(x, QuantLinear) and x.layout == "pairk" and x.packed.ndim == 2:
